@@ -1,0 +1,187 @@
+"""Rollout engines: jit(vmap(scan)) over the functional env.
+
+This replaces the reference's ``SimObj.simulate`` while-loop + pathos
+process pool (reference: simulation/sim_engine.py:29-39,65-76) with a single
+compiled program: time = ``lax.scan`` (sequential on device), patients =
+``vmap`` (lanes), devices = shard_map over a Mesh
+(:mod:`simglucose_tpu.parallel.sharding`).
+
+Two engines:
+  * :func:`rollout`         — fixed-horizon closed-loop rollout of a
+                              (controller, env) pair, stacked histories.
+  * :func:`rollout_autoreset` — RL-style batched rollout with masked
+                              re-initialization when episodes terminate
+                              (the reference gym wrapper builds a whole new
+                              env per reset, simglucose_gym_env.py:48-51;
+                              here that is a masked state swap).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from simglucose_tpu.analysis.risk import risk_diff_reward
+from simglucose_tpu.controllers.functional import ControllerFn
+from simglucose_tpu.core.types import EnvState, StepResult
+from simglucose_tpu.envs.functional import (
+    EnvConfig,
+    EnvParams,
+    env_reset,
+    env_step,
+)
+
+
+def rollout(
+    cfg: EnvConfig,
+    params: EnvParams,
+    key: jax.Array,
+    ctrl_init: Any,
+    ctrl_fn: ControllerFn,
+    n_steps: int,
+    start_min: jnp.ndarray = 0,
+    init_state: Optional[jnp.ndarray] = None,
+    reward_fun=risk_diff_reward,
+) -> Tuple[EnvState, StepResult, StepResult]:
+    """Closed-loop rollout of ``n_steps`` env steps for ONE env.
+
+    Returns (final_env_state, reset_result, stacked_step_results); vmap over
+    (params/key/start_min) for a batch.  The controller acts on the previous
+    step's result, exactly like the reference loop (sim_engine.py:33-37).
+    """
+    state, reset_res = env_reset(
+        cfg, params, key, start_min=start_min, init_state=init_state
+    )
+
+    def body(carry, _):
+        state, ctrl_state, prev_res = carry
+        ctrl_state, action = ctrl_fn(ctrl_state, prev_res)
+        state, res = env_step(cfg, params, state, action, reward_fun=reward_fun)
+        return (state, ctrl_state, res), res
+
+    (state, _, _), traj = jax.lax.scan(
+        body, (state, ctrl_init, reset_res), None, length=n_steps
+    )
+    return state, reset_res, traj
+
+
+def rollout_batch(
+    cfg: EnvConfig,
+    params: EnvParams,
+    keys: jax.Array,
+    ctrl_init: Any,
+    ctrl_fn: ControllerFn,
+    n_steps: int,
+    start_min: jnp.ndarray = 0,
+    reward_fun=risk_diff_reward,
+):
+    """vmapped :func:`rollout` over a leading batch axis of params/keys.
+
+    ``params`` leaves must carry the batch axis; ``start_min``/``ctrl_init``
+    are broadcast if unbatched.  Histories come back as [B, T] arrays.
+    """
+    batched = jax.vmap(
+        lambda p, k, sm, ci: rollout(
+            cfg, p, k, ci, ctrl_fn, n_steps, start_min=sm, reward_fun=reward_fun
+        ),
+        in_axes=(0, 0, 0, None),
+    )
+    B = keys.shape[0]
+    start_min = jnp.broadcast_to(jnp.asarray(start_min, jnp.int32), (B,))
+    return batched(params, keys, start_min, ctrl_init)
+
+
+# ---------------------------------------------------------------------------
+# Auto-reset batched env (RL path)
+# ---------------------------------------------------------------------------
+
+
+def autoreset_step(
+    cfg: EnvConfig,
+    params: EnvParams,
+    state: EnvState,
+    action,
+    reward_fun=risk_diff_reward,
+) -> Tuple[EnvState, StepResult]:
+    """One env step with gym-style auto-reset for a SINGLE env (vmap for a
+    batch).
+
+    When the step terminates, the env is re-initialized from a fresh key
+    with a random start hour — the functional analog of the reference gym
+    wrapper's brand-new-env-per-reset (simglucose_gym_env.py:48-51,66-67).
+    The terminal StepResult is returned (with done=True); the returned state
+    already belongs to the new episode.
+    """
+    state, res = env_step(cfg, params, state, action, reward_fun=reward_fun)
+
+    new_key = jax.random.fold_in(state.key, state.patient.t)
+    k_hour, k_reset = jax.random.split(new_key)
+    hour = jax.random.randint(k_hour, (), 0, 24)
+    fresh, _ = env_reset(cfg, params, k_reset, start_min=hour * 60)
+
+    reset_state = jax.tree.map(
+        lambda a, b: jnp.where(
+            jnp.reshape(res.done, res.done.shape + (1,) * (a.ndim - res.done.ndim)),
+            a,
+            b,
+        ),
+        fresh,
+        state,
+    )
+    return reset_state, res
+
+
+def make_batch_rollout_fn(
+    cfg: EnvConfig,
+    ctrl_fn: ControllerFn,
+    n_steps: int,
+    reward_fun=risk_diff_reward,
+    donate: bool = True,
+):
+    """Compiled batched auto-reset rollout: (params[B], state[B], ctrl_state)
+    -> (state[B], traj[T, B]).  The workhorse behind bench.py and the PPO
+    actor.  State is donated so long runs reuse buffers."""
+
+    step1 = partial(autoreset_step, cfg, reward_fun=reward_fun)
+
+    def run(params, state: EnvState, ctrl_init, prev_res: StepResult):
+        """``ctrl_init`` must be batched per env (use
+        :func:`broadcast_ctrl_state` for shared scalar state)."""
+
+        def body(carry, _):
+            state, ctrl_state, prev = carry
+            ctrl_state, action = jax.vmap(ctrl_fn)(ctrl_state, prev)
+            state, res = jax.vmap(step1)(params, state, action)
+            return (state, ctrl_state, res), res
+
+        (state, ctrl_state, last), traj = jax.lax.scan(
+            body, (state, ctrl_init, prev_res), None, length=n_steps
+        )
+        return state, last, traj
+
+    return jax.jit(run, donate_argnums=(1,) if donate else ())
+
+
+def broadcast_ctrl_state(ctrl_init, batch: int):
+    """Tile a single-env controller state across a batch of ``batch`` envs."""
+    return jax.tree.map(
+        lambda a: jnp.broadcast_to(jnp.asarray(a), (batch,) + jnp.shape(a)),
+        ctrl_init,
+    )
+
+
+def batch_reset(cfg: EnvConfig, params: EnvParams, keys: jax.Array, start_min=None):
+    """vmapped env_reset.  ``keys`` is [B]; params leaves carry [B]."""
+    B = keys.shape[0]
+    if start_min is None:
+        hours = jax.vmap(lambda k: jax.random.randint(k, (), 0, 24))(
+            jax.vmap(lambda k: jax.random.fold_in(k, 7))(keys)
+        )
+        start_min = hours * 60
+    else:
+        start_min = jnp.broadcast_to(jnp.asarray(start_min, jnp.int32), (B,))
+    return jax.vmap(lambda p, k, sm: env_reset(cfg, p, k, start_min=sm))(
+        params, keys, start_min
+    )

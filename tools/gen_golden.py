@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""Generate golden fixtures by running the reference simglucose on host.
+
+Outputs land in tests/golden/ as .npz / .csv files.  Each fixture encodes the
+exact behavior of the reference at fixed seeds; the framework's tests assert
+parity against them (tolerance for ODE physics, bitwise for RNG-driven paths).
+
+Fixtures:
+  openloop_<name>.npz      : 1000-min open-loop patient trace (basal insulin,
+                             80 g meal at t=100 with matching bolus — the
+                             reference's own demo, t1dpatient.py:284-323),
+                             storing BG[t] and the full 13-state trajectory.
+  cgm_noise.npz            : first N CGM noise values for each sensor, seeds
+                             1-3 (sensor/noise_gen.py semantics).
+  meals_seed<k>_<start>.npz: minute-wise meal grams over 3 days from
+                             RandomScenario (simulation/scenario_gen.py).
+  closedloop_golden.csv    : the canonical 2-day closed-loop trace
+                             (adolescent#001, Dexcom seed 1, scenario seed 1,
+                             BBController, start 2018-01-01 00:00) — same
+                             config as reference tests/test_sim_engine.py:88-113.
+  init_bg.npz              : random_init_bg multivariate-normal draws, seeds 0-4.
+"""
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import refharness
+
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "tests", "golden")
+
+
+def gen_openloop():
+    from simglucose.patient.t1dpatient import Action
+
+    for name in ["adolescent#001", "adult#005", "child#003"]:
+        p = refharness.make_patient(name)
+        basal = float(p._params.u2ss * p._params.BW / 6000)
+        T = 1000
+        bg = np.zeros(T)
+        xs = np.zeros((T, 13))
+        for i in range(T):
+            ins, carb = basal, 0.0
+            if p.t == 100:
+                carb = 80.0
+                ins = 80.0 / 6.0 + basal
+            p.step(Action(insulin=ins, CHO=carb))
+            bg[i] = p.observation.Gsub
+            xs[i] = p.state
+        path = os.path.join(OUT, f"openloop_{name.replace('#','_')}.npz")
+        np.savez_compressed(path, BG=bg, X=xs, basal=basal)
+        print("wrote", path, "BG[-1]=%.12f" % bg[-1])
+
+
+def gen_cgm_noise(n=200):
+    import pandas as pd
+    from simglucose.sensor.noise_gen import CGMNoise
+
+    sensors = pd.read_csv(
+        os.path.join(refharness.REFERENCE, "simglucose/params/sensor_params.csv")
+    )
+    out = {}
+    for _, row in sensors.iterrows():
+        for seed in [1, 2, 3]:
+            gen = CGMNoise(row, seed=seed)
+            out[f"{row.Name}_s{seed}"] = np.array([next(gen) for _ in range(n)])
+    path = os.path.join(OUT, "cgm_noise.npz")
+    np.savez_compressed(path, **out)
+    print("wrote", path)
+
+
+def gen_meals():
+    from datetime import datetime, timedelta
+
+    from simglucose.simulation.scenario_gen import RandomScenario
+
+    for seed in [1, 2]:
+        for hour in [0, 6, 23]:
+            start = datetime(2018, 1, 1, hour, 0, 0)
+            sc = RandomScenario(start_time=start, seed=seed)
+            T = 3 * 24 * 60
+            meals = np.zeros(T)
+            t = start
+            for i in range(T):
+                meals[i] = sc.get_action(t).meal
+                t += timedelta(minutes=1)
+            path = os.path.join(OUT, f"meals_seed{seed}_h{hour}.npz")
+            np.savez_compressed(path, meals=meals)
+            print("wrote", path, "total CHO=%.1f" % meals.sum())
+
+
+def gen_closedloop():
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+    from simglucose.actuator.pump import InsulinPump
+    from simglucose.controller.basal_bolus_ctrller import BBController
+    from simglucose.sensor.cgm import CGMSensor
+    from simglucose.simulation.env import T1DSimEnv
+    from simglucose.simulation.scenario_gen import RandomScenario
+    from simglucose.simulation.sim_engine import SimObj
+
+    start = datetime(2018, 1, 1, 0, 0, 0)
+    patient = refharness.make_patient("adolescent#001")
+    sensor = CGMSensor.withName("Dexcom", seed=1)
+    pump = InsulinPump.withName("Insulet")
+    scenario = RandomScenario(start_time=start, seed=1)
+    env = T1DSimEnv(patient, sensor, pump, scenario)
+    ctrl = BBController()
+    obj = SimObj(env, ctrl, timedelta(days=2), animate=False, path=None)
+    obj.simulate()
+    df = obj.results()
+    path = os.path.join(OUT, "closedloop_golden.csv")
+    df.to_csv(path)
+    # full-precision arrays (the CSV truncates doubles at ~16 digits)
+    npz = os.path.join(OUT, "closedloop_golden.npz")
+    np.savez_compressed(
+        npz,
+        BG=df.BG.to_numpy(),
+        CGM=df.CGM.to_numpy(),
+        CHO=df.CHO.to_numpy(),
+        insulin=df.insulin.to_numpy(),
+        LBGI=df.LBGI.to_numpy(),
+        HBGI=df.HBGI.to_numpy(),
+        Risk=df.Risk.to_numpy(),
+    )
+    print("wrote", path, f"rows={len(df)} BG0={df.BG.iloc[0]} CGM0={df.CGM.iloc[0]}")
+
+
+def gen_init_bg():
+    out = {}
+    params = refharness.make_patient("adolescent#001")._params
+    x0 = np.array([params[f"x0_{i}"] if f"x0_{i}" in params else params[f"x0_ {i}"]
+                   for i in range(1, 14)], dtype=float)
+    for seed in range(5):
+        rs = np.random.RandomState(seed)
+        mean = [1.0 * x0[3], 1.0 * x0[4], 1.0 * x0[12]]
+        cov = np.diag([0.1 * x0[3], 0.1 * x0[4], 0.1 * x0[12]])
+        out[f"s{seed}"] = rs.multivariate_normal(mean, cov)
+    path = os.path.join(OUT, "init_bg.npz")
+    np.savez_compressed(path, **out)
+    print("wrote", path)
+
+
+if __name__ == "__main__":
+    refharness.install()
+    os.makedirs(OUT, exist_ok=True)
+    which = sys.argv[1:] or ["openloop", "cgm_noise", "meals", "closedloop", "init_bg"]
+    for w in which:
+        globals()[f"gen_{w}"]()
