@@ -1,0 +1,124 @@
+"""Pure-JAX Gaussian MLP policy + value network for glucose control.
+
+Obs featurization derives from the env's StepResult (the reference gym env
+exposes CGM only, envs/simglucose_gym_env.py:78-85; the featurizer adds the
+controller-visible info fields — meal and insulin — all of which the
+reference also hands to controllers through the info dict, env.py:106-117).
+
+Tensor-parallel ready: weights carry their hidden axis so the ('dp','tp')
+mesh can shard them (see :func:`param_specs`); activations get sharding
+constraints when a mesh is supplied.  XLA inserts the tp all-reduces.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+OBS_DIM = 4
+
+
+class PolicyParams(NamedTuple):
+    w1: jnp.ndarray  # [OBS_DIM, H]
+    b1: jnp.ndarray  # [H]
+    w2: jnp.ndarray  # [H, H]
+    b2: jnp.ndarray  # [H]
+    w_mu: jnp.ndarray  # [H, 1]
+    b_mu: jnp.ndarray  # [1]
+    log_std: jnp.ndarray  # [1]
+    w_v: jnp.ndarray  # [H, 1]
+    b_v: jnp.ndarray  # [1]
+
+
+def param_specs() -> PolicyParams:
+    """PartitionSpecs sharding the hidden dimension over 'tp'."""
+    return PolicyParams(
+        w1=P(None, "tp"),
+        b1=P("tp"),
+        w2=P("tp", None),
+        b2=P(),
+        w_mu=P("tp", None),
+        b_mu=P(),
+        log_std=P(),
+        w_v=P("tp", None),
+        b_v=P(),
+    )
+
+
+def init_policy(key: jax.Array, hidden: int = 128, dtype=jnp.float32) -> PolicyParams:
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+
+    def he(k, shape):
+        return jax.random.normal(k, shape, dtype) * jnp.sqrt(2.0 / shape[0])
+
+    return PolicyParams(
+        w1=he(k1, (OBS_DIM, hidden)),
+        b1=jnp.zeros((hidden,), dtype),
+        w2=he(k2, (hidden, hidden)),
+        b2=jnp.zeros((hidden,), dtype),
+        w_mu=he(k3, (hidden, 1)) * 0.01,
+        b_mu=jnp.zeros((1,), dtype),
+        log_std=jnp.full((1,), -1.0, dtype),
+        w_v=he(k4, (hidden, 1)),
+        b_v=jnp.zeros((1,), dtype),
+    )
+
+
+def featurize(result) -> jnp.ndarray:
+    """StepResult -> [..., OBS_DIM] normalized features."""
+    cgm = result.observation.CGM
+    return jnp.stack(
+        [
+            cgm / 400.0,
+            (cgm - 140.0) / 100.0,
+            result.insulin * 10.0,
+            result.CHO / 10.0,
+        ],
+        axis=-1,
+    )
+
+
+def policy_apply(
+    params: PolicyParams, obs: jnp.ndarray, mesh: Optional[Mesh] = None
+):
+    """Returns (mu, log_std, value) for obs [..., OBS_DIM].
+
+    All matmuls carry ``preferred_element_type=float32`` so bf16 params still
+    accumulate in f32 on the MXU.
+    """
+
+    def cstr(x, spec):
+        if mesh is not None and "tp" in mesh.axis_names:
+            return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+        return x
+
+    h = jnp.tanh(
+        cstr(
+            jnp.dot(obs, params.w1, preferred_element_type=jnp.float32) + params.b1,
+            P("dp", "tp") if obs.ndim == 2 else P("tp"),
+        )
+    )
+    h = jnp.tanh(
+        jnp.dot(h, params.w2, preferred_element_type=jnp.float32) + params.b2
+    )
+    mu = jnp.dot(h, params.w_mu, preferred_element_type=jnp.float32) + params.b_mu
+    v = jnp.dot(h, params.w_v, preferred_element_type=jnp.float32) + params.b_v
+    return mu[..., 0], params.log_std[0], v[..., 0]
+
+
+def gaussian_logprob(mu, log_std, x):
+    z = (x - mu) * jnp.exp(-log_std)
+    return -0.5 * z * z - log_std - 0.5 * jnp.log(2.0 * jnp.pi)
+
+
+def sample_action(params: PolicyParams, obs, key, max_basal: float = 30.0, mesh=None):
+    """Sample a basal rate (U/min): squash N(mu, std) through a scaled
+    sigmoid onto [0, max_basal/10] (therapeutic basal range)."""
+    mu, log_std, v = policy_apply(params, obs, mesh=mesh)
+    eps = jax.random.normal(key, mu.shape, mu.dtype)
+    raw = mu + jnp.exp(log_std) * eps
+    logp = gaussian_logprob(mu, log_std, raw)
+    basal = jax.nn.sigmoid(raw) * (max_basal / 10.0)
+    return basal, raw, logp, v

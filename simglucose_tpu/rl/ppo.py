@@ -1,0 +1,217 @@
+"""On-device PPO actor-learner over sharded patient cohorts.
+
+BASELINE.json configs 4-5: an on-device training loop where the actor rolls
+out thousands of auto-resetting envs (patients sharded over the mesh's 'dp'
+axis) and the learner updates a shared policy with PPO.  Everything — env
+physics, action sampling, GAE, the clipped surrogate, and the optax update —
+lives in ONE jitted program per iteration; under GSPMD the batch stays
+sharded over 'dp', policy weights shard over 'tp', and XLA inserts the
+gradient all-reduce over ICI (the "sharded PPO learner via collectives").
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh
+
+from simglucose_tpu.core.types import CtrlAction, EnvState, StepResult
+from simglucose_tpu.envs.functional import EnvConfig, EnvParams
+from simglucose_tpu.envs.rollout import autoreset_step
+from simglucose_tpu.rl.policy import (
+    PolicyParams,
+    featurize,
+    gaussian_logprob,
+    policy_apply,
+    sample_action,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class PPOConfig:
+    rollout_steps: int = 64
+    epochs: int = 2
+    minibatches: int = 4
+    gamma: float = 0.99
+    lam: float = 0.95
+    clip_eps: float = 0.2
+    vf_coef: float = 0.5
+    ent_coef: float = 1e-3
+    lr: float = 3e-4
+    max_grad_norm: float = 0.5
+    max_basal: float = 30.0  # Insulet pump limit (params/pump_params.csv)
+
+
+class TrainState(NamedTuple):
+    params: PolicyParams
+    opt_state: optax.OptState
+    env_state: EnvState
+    prev_res: StepResult
+    key: jax.Array
+
+
+class Transition(NamedTuple):
+    obs: jnp.ndarray
+    raw_action: jnp.ndarray
+    logp: jnp.ndarray
+    value: jnp.ndarray
+    reward: jnp.ndarray
+    done: jnp.ndarray
+
+
+def make_optimizer(cfg: PPOConfig):
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm), optax.adam(cfg.lr)
+    )
+
+
+def _rollout(
+    cfg: PPOConfig,
+    env_cfg: EnvConfig,
+    env_params: EnvParams,
+    params: PolicyParams,
+    env_state: EnvState,
+    prev_res: StepResult,
+    key: jax.Array,
+    mesh: Optional[Mesh],
+):
+    """Collect rollout_steps transitions from the batched auto-reset env."""
+
+    def body(carry, _):
+        env_state, prev, key = carry
+        key, k_act = jax.random.split(key)
+        obs = featurize(prev)
+        basal, raw, logp, value = sample_action(
+            params, obs, k_act, max_basal=cfg.max_basal, mesh=mesh
+        )
+        action = CtrlAction(basal=basal, bolus=jnp.zeros_like(basal))
+        env_state, res = jax.vmap(partial(autoreset_step, env_cfg))(
+            env_params, env_state, action
+        )
+        tr = Transition(
+            obs=obs,
+            raw_action=raw,
+            logp=logp,
+            value=value,
+            reward=res.reward,
+            done=res.done,
+        )
+        return (env_state, res, key), tr
+
+    (env_state, last_res, key), traj = jax.lax.scan(
+        body, (env_state, prev_res, key), None, length=cfg.rollout_steps
+    )
+    return env_state, last_res, key, traj
+
+
+def _gae(cfg: PPOConfig, traj: Transition, last_value: jnp.ndarray):
+    """Generalized advantage estimation over the [T, B] rollout."""
+
+    def body(carry, tr):
+        adv_next, v_next = carry
+        nonterm = 1.0 - tr.done.astype(tr.value.dtype)
+        delta = tr.reward + cfg.gamma * v_next * nonterm - tr.value
+        adv = delta + cfg.gamma * cfg.lam * nonterm * adv_next
+        return (adv, tr.value), adv
+
+    (_, _), advs = jax.lax.scan(
+        body,
+        (jnp.zeros_like(last_value), last_value),
+        traj,
+        reverse=True,
+    )
+    returns = advs + traj.value
+    return advs, returns
+
+
+def _ppo_loss(
+    cfg: PPOConfig,
+    params: PolicyParams,
+    batch,
+    mesh: Optional[Mesh],
+):
+    obs, raw, logp_old, adv, ret = batch
+    mu, log_std, value = policy_apply(params, obs, mesh=mesh)
+    logp = gaussian_logprob(mu, log_std, raw)
+    ratio = jnp.exp(logp - logp_old)
+    adv_n = (adv - adv.mean()) / (adv.std() + 1e-8)
+    pg1 = ratio * adv_n
+    pg2 = jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv_n
+    pg_loss = -jnp.minimum(pg1, pg2).mean()
+    v_loss = 0.5 * jnp.square(value - ret).mean()
+    entropy = (log_std + 0.5 * jnp.log(2 * jnp.pi * jnp.e)).mean()
+    loss = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * entropy
+    return loss, (pg_loss, v_loss, entropy)
+
+
+def make_train_step(
+    cfg: PPOConfig,
+    env_cfg: EnvConfig,
+    mesh: Optional[Mesh] = None,
+):
+    """Build the jitted PPO iteration: rollout + GAE + epochs of minibatch
+    updates.  ``env_params`` is a jit argument so it can carry shardings."""
+    opt = make_optimizer(cfg)
+
+    def train_step(env_params: EnvParams, ts: TrainState):
+        env_state, last_res, key, traj = _rollout(
+            cfg, env_cfg, env_params, ts.params, ts.env_state, ts.prev_res,
+            ts.key, mesh,
+        )
+        _, _, last_value = policy_apply(
+            ts.params, featurize(last_res), mesh=mesh
+        )
+        advs, rets = _gae(cfg, traj, last_value)
+
+        T, B = traj.reward.shape
+        flat = jax.tree.map(
+            lambda a: a.reshape((T * B,) + a.shape[2:]),
+            (traj.obs, traj.raw_action, traj.logp, advs, rets),
+        )
+
+        def epoch(carry, _):
+            params, opt_state, key = carry
+            key, k_perm = jax.random.split(key)
+            perm = jax.random.permutation(k_perm, T * B)
+            mb_size = (T * B) // cfg.minibatches
+
+            def minibatch(carry, i):
+                params, opt_state = carry
+                idx = jax.lax.dynamic_slice_in_dim(perm, i * mb_size, mb_size)
+                mb = jax.tree.map(lambda a: a[idx], flat)
+                grads, aux = jax.grad(
+                    lambda p: _ppo_loss(cfg, p, mb, mesh), has_aux=True
+                )(params)
+                updates, opt_state = opt.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), aux
+
+            (params, opt_state), aux = jax.lax.scan(
+                minibatch, (params, opt_state), jnp.arange(cfg.minibatches)
+            )
+            return (params, opt_state, key), aux
+
+        (params, opt_state, key), aux = jax.lax.scan(
+            epoch, (ts.params, ts.opt_state, key), None, length=cfg.epochs
+        )
+        metrics = {
+            "reward_mean": traj.reward.mean(),
+            "done_frac": traj.done.mean(),
+            "pg_loss": aux[0].mean(),
+            "v_loss": aux[1].mean(),
+            "entropy": aux[2].mean(),
+        }
+        new_ts = TrainState(
+            params=params,
+            opt_state=opt_state,
+            env_state=env_state,
+            prev_res=last_res,
+            key=key,
+        )
+        return new_ts, metrics
+
+    return train_step
