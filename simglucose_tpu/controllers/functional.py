@@ -67,6 +67,24 @@ def bb_controller(
     return (), policy
 
 
+def bb_policy(sample_time: int, target: float = 140.0) -> ControllerFn:
+    """Basal-bolus policy with the therapy params carried IN the controller
+    state (a :class:`BBParams` pytree) instead of closed over — this form
+    vmaps over per-patient params (``ctrl_in_axes=0`` in
+    :func:`simglucose_tpu.envs.rollout.rollout_batch`)."""
+
+    def policy(bb: BBParams, result: StepResult):
+        glucose = result.observation.CGM
+        meal = result.CHO
+        bolus_u = (meal * sample_time) / bb.CR + (glucose > 150.0) * (
+            glucose - target
+        ) / bb.CF
+        bolus = jnp.where(meal > 0, bolus_u / sample_time, 0.0)
+        return bb, CtrlAction(basal=bb.basal, bolus=bolus)
+
+    return policy
+
+
 class PIDState(NamedTuple):
     integrated: jnp.ndarray
     prev: jnp.ndarray

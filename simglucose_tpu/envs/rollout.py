@@ -76,17 +76,27 @@ def rollout_batch(
     n_steps: int,
     start_min: jnp.ndarray = 0,
     reward_fun=risk_diff_reward,
+    ctrl_in_axes=None,
 ):
     """vmapped :func:`rollout` over a leading batch axis of params/keys.
 
     ``params`` leaves must carry the batch axis; ``start_min``/``ctrl_init``
-    are broadcast if unbatched.  Histories come back as [B, T] arrays.
+    are broadcast if unbatched.  Pass ``ctrl_in_axes=0`` when the controller
+    state is per-patient (e.g. batched BB therapy params).  Histories come
+    back as [B, T] arrays.
     """
     batched = jax.vmap(
         lambda p, k, sm, ci: rollout(
-            cfg, p, k, ci, ctrl_fn, n_steps, start_min=sm, reward_fun=reward_fun
+            cfg,
+            p,
+            k,
+            ci,
+            ctrl_fn,
+            n_steps,
+            start_min=sm,
+            reward_fun=reward_fun,
         ),
-        in_axes=(0, 0, 0, None),
+        in_axes=(0, 0, 0, ctrl_in_axes),
     )
     B = keys.shape[0]
     start_min = jnp.broadcast_to(jnp.asarray(start_min, jnp.int32), (B,))

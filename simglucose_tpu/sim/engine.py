@@ -1,0 +1,291 @@
+"""High-level simulation engine: the user-facing batch-simulation API.
+
+Capability parity with the reference's sim engine + ``simulate()`` entry
+(reference: simulation/sim_engine.py:15-76, simulation/user_interface.py:303-385),
+re-designed TPU-first: the whole patient cohort runs as ONE compiled
+``jit(vmap(scan))`` program instead of a process pool — "parallel" is the
+default and costs nothing.
+
+Main entry: :func:`simulate` — programmatic, returns the reference-style
+multi-index results frame and optionally writes per-patient CSVs + the full
+analysis report.  :class:`SimObj`/:func:`sim`/:func:`batch_sim` are thin
+familiar shims over the same machinery.
+"""
+from __future__ import annotations
+
+import logging
+import os
+import time
+from datetime import datetime, timedelta
+from typing import Callable, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from simglucose_tpu import params as tables
+from simglucose_tpu.analysis.report import cohort_frame, report, trajectory_frame
+from simglucose_tpu.analysis.risk import risk_diff_reward
+from simglucose_tpu.controllers.functional import (
+    BBParams,
+    bb_params,
+    bb_policy,
+    pid_controller,
+)
+from simglucose_tpu.envs.build import make_env
+from simglucose_tpu.envs.gym_env import MealSpec, parse_meal_times
+from simglucose_tpu.envs.rollout import rollout_batch
+
+logger = logging.getLogger(__name__)
+
+
+def _resolve_controller(controller, cfg, env_params, patient_names, dtype):
+    """Accept 'BB'/'PID', a (ctrl_init, ctrl_fn) pair, or a pair factory.
+
+    Returns (ctrl_init, ctrl_fn, ctrl_in_axes)."""
+    if controller is None or (
+        isinstance(controller, str) and controller.upper() in ("BB", "BASAL-BOLUS")
+    ):
+        quest = tables.load_quest_params(patient_names, dtype=dtype)
+        bb = bb_params(env_params.patient, quest)
+        return bb, bb_policy(cfg.sample_time), 0
+    if isinstance(controller, str) and controller.upper() == "PID":
+        init, fn = pid_controller(
+            cfg.sample_time, P=-1e-4, I=-1e-7, dtype=dtype
+        )
+        return init, fn, None
+    if isinstance(controller, tuple) and len(controller) == 2:
+        init, fn = controller
+        return init, fn, None
+    raise ValueError(
+        f"controller must be 'BB', 'PID', or an (init, policy) pair; "
+        f"got {controller!r}"
+    )
+
+
+def simulate(
+    sim_time: timedelta = timedelta(days=1),
+    scenario: Optional[Union[str, MealSpec]] = None,
+    scenario_seed: Optional[int] = None,
+    controller=None,
+    patient_names: Optional[Sequence[str]] = None,
+    cgm_name: str = "Dexcom",
+    cgm_seed: Optional[int] = None,
+    insulin_pump_name: str = "Insulet",
+    start_time: Optional[datetime] = None,
+    save_path: Optional[str] = None,
+    animate: bool = False,
+    parallel: bool = True,  # accepted for API familiarity; always one program
+    random_init_bg: bool = False,
+    dtype=np.float32,
+    substeps: int = 1,
+    reward_fun: Callable = risk_diff_reward,
+):
+    """Run a closed-loop cohort simulation and return the results frame.
+
+    The programmatic analog of the reference's top-level ``simulate``
+    (reference: simulation/user_interface.py:303-385): builds one env per
+    patient, runs them all closed-loop for ``sim_time``, writes per-patient
+    CSVs and the analysis report under ``save_path``, and returns the
+    (patient, Time) multi-indexed DataFrame.
+
+    ``scenario``: None → random daily meal plans (per-patient);
+    'random' → same; a list of (time, grams) → CustomScenario for all
+    patients (times are hours-since-start floats, timedeltas, or datetimes,
+    reference: simulation/scenario.py:48-59).
+    """
+    if patient_names is None:
+        patient_names = tables.patient_names()
+    if isinstance(patient_names, str):
+        patient_names = [patient_names]
+    patient_names = list(patient_names)
+    B = len(patient_names)
+    if start_time is None:
+        start_time = datetime(2018, 1, 1, 0, 0, 0)
+
+    custom_times = custom_amounts = None
+    scenario_mode = "random"
+    if scenario is not None and not isinstance(scenario, str):
+        t_arr, a_arr = parse_meal_times(scenario, start_time)
+        custom_times = np.broadcast_to(t_arr, (B,) + t_arr.shape)
+        custom_amounts = np.broadcast_to(
+            a_arr.astype(dtype), (B,) + a_arr.shape
+        )
+        scenario_mode = "custom"
+
+    cfg, env_params = make_env(
+        patient_names,
+        sensor=cgm_name,
+        pump=insulin_pump_name,
+        dtype=dtype,
+        batch=True,
+        substeps=substeps,
+        scenario_mode=scenario_mode,
+        random_init_bg=random_init_bg,
+    )
+    if custom_times is not None:
+        env_params = env_params._replace(
+            custom_times=jnp.asarray(custom_times, jnp.int32),
+            custom_amounts=jnp.asarray(custom_amounts),
+        )
+
+    ctrl_init, ctrl_fn, ctrl_axes = _resolve_controller(
+        controller, cfg, env_params, patient_names, dtype
+    )
+
+    n_steps = int(sim_time.total_seconds() // 60) // cfg.sample_time
+    seed = 0 if scenario_seed is None else int(scenario_seed)
+    base = jax.random.PRNGKey(seed)
+    if cgm_seed is not None:
+        base = jax.random.fold_in(base, int(cgm_seed))
+    keys = jax.random.split(base, B)
+    start_min = (start_time.hour * 60 + start_time.minute) % 1440
+
+    tic = time.time()
+    run = jax.jit(
+        lambda p, k, ci: rollout_batch(
+            cfg,
+            p,
+            k,
+            ci,
+            ctrl_fn,
+            n_steps,
+            start_min=start_min,
+            reward_fun=reward_fun,
+            ctrl_in_axes=ctrl_axes,
+        )
+    )
+    state, reset_res, traj = run(env_params, keys, ctrl_init)
+    jax.block_until_ready(traj.BG)
+    toc = time.time()
+    logger.info(
+        "Simulation of %d patients x %s took %.3f s (one compiled program)",
+        B,
+        sim_time,
+        toc - tic,
+    )
+
+    # [B, T] -> [T, B] for the frame builder
+    traj_tb = jax.tree.map(lambda a: np.asarray(a).swapaxes(0, 1), traj)
+    df = cohort_frame(reset_res, traj_tb, patient_names, start_time, cfg.sample_time)
+
+    if animate:
+        from simglucose_tpu.analysis.rendering import Viewer
+
+        for name in patient_names[:4]:
+            v = Viewer(start_time, name)
+            v.render(df.loc[name])
+
+    if save_path is not None:
+        os.makedirs(save_path, exist_ok=True)
+        for name in patient_names:
+            df.loc[name].to_csv(os.path.join(save_path, f"{name}.csv"))
+        report(df, save_path=save_path)
+    return df
+
+
+class SimObj:
+    """Familiar OO shim over one patient's simulation
+    (reference: simulation/sim_engine.py:15-49)."""
+
+    def __init__(
+        self,
+        patient_name: str,
+        controller=None,
+        sim_time: timedelta = timedelta(days=1),
+        start_time: Optional[datetime] = None,
+        scenario: Optional[MealSpec] = None,
+        seed: int = 0,
+        animate: bool = False,
+        path: Optional[str] = None,
+        **kwargs,
+    ):
+        self.patient_name = patient_name
+        self.controller = controller
+        self.sim_time = sim_time
+        self.start_time = start_time or datetime(2018, 1, 1)
+        self.scenario = scenario
+        self.seed = seed
+        self.animate = animate
+        self.path = path
+        self.kwargs = kwargs
+        self._results = None
+
+    def simulate(self):
+        df = simulate(
+            sim_time=self.sim_time,
+            scenario=self.scenario,
+            scenario_seed=self.seed,
+            controller=self.controller,
+            patient_names=[self.patient_name],
+            start_time=self.start_time,
+            animate=self.animate,
+            **self.kwargs,
+        )
+        self._results = df.loc[self.patient_name]
+        return self._results
+
+    def results(self):
+        if self._results is None:
+            self.simulate()
+        return self._results
+
+    def save_results(self):
+        if self.path is None:
+            raise ValueError("SimObj.path not set")
+        os.makedirs(self.path, exist_ok=True)
+        self.results().to_csv(
+            os.path.join(self.path, f"{self.patient_name}.csv")
+        )
+
+
+def sim(sim_object: SimObj):
+    """Run one SimObj (reference: sim_engine.py:56-62)."""
+    logger.info("Simulating %s", sim_object.patient_name)
+    res = sim_object.simulate()
+    if sim_object.path is not None:
+        sim_object.save_results()
+    return res
+
+
+def batch_sim(sim_instances: Sequence[SimObj], parallel: bool = False):
+    """Run a batch of SimObjs (reference: sim_engine.py:65-76).
+
+    When every instance shares (controller type, sim_time, start, scenario,
+    seed), the whole batch is fused into ONE compiled cohort program;
+    otherwise they run sequentially (each still a compiled program).
+    ``parallel`` is accepted for API familiarity — on TPU the fused path is
+    always parallel.
+    """
+    tic = time.time()
+    fuse_key = lambda o: (
+        type(o.controller).__name__
+        if not isinstance(o.controller, (str, type(None)))
+        else o.controller,
+        o.sim_time,
+        o.start_time,
+        None if o.scenario is None else tuple(map(tuple, o.scenario)),
+        o.seed,
+        tuple(sorted(o.kwargs.items())),
+    )
+    results = []
+    if len(sim_instances) > 1 and len({fuse_key(o) for o in sim_instances}) == 1:
+        o0 = sim_instances[0]
+        df = simulate(
+            sim_time=o0.sim_time,
+            scenario=o0.scenario,
+            scenario_seed=o0.seed,
+            controller=o0.controller,
+            patient_names=[o.patient_name for o in sim_instances],
+            start_time=o0.start_time,
+            **o0.kwargs,
+        )
+        for o in sim_instances:
+            o._results = df.loc[o.patient_name]
+            if o.path is not None:
+                o.save_results()
+            results.append(o._results)
+    else:
+        results = [sim(o) for o in sim_instances]
+    logger.info("Simulation took %.3f sec.", time.time() - tic)
+    return results

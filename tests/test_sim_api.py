@@ -1,0 +1,123 @@
+"""High-level sim engine + interactive UI tests
+(reference: tests/test_sim_engine.py, tests/test_ui.py)."""
+from datetime import datetime, timedelta
+from unittest import mock
+
+import numpy as np
+import pytest
+
+from simglucose_tpu.sim.engine import SimObj, batch_sim, sim, simulate
+
+
+def test_simulate_cohort_bb():
+    df = simulate(
+        sim_time=timedelta(hours=4),
+        patient_names=["adolescent#001", "adult#001", "child#001"],
+        controller="BB",
+        scenario_seed=1,
+        start_time=datetime(2018, 1, 1, 6, 0, 0),
+    )
+    assert df.index.nlevels == 2
+    for name in ("adolescent#001", "adult#001", "child#001"):
+        sub = df.loc[name]
+        assert len(sub) == 4 * 60 // 3 + 1
+        assert np.isfinite(sub.BG).all()
+        assert (sub.BG > 10).all() and (sub.BG < 600).all()
+
+
+def test_simulate_custom_scenario_pid():
+    df = simulate(
+        sim_time=timedelta(hours=2),
+        patient_names=["adolescent#002"],
+        controller="PID",
+        scenario=[(0.5, 40.0)],  # 40 g at 30 min
+        start_time=datetime(2018, 1, 1, 8, 0, 0),
+    )
+    sub = df.loc["adolescent#002"]
+    assert sub.CHO.sum() > 0  # meal delivered
+    # meal lands at the 30-minute mark
+    cho_steps = np.flatnonzero(np.asarray(sub.CHO) > 0)
+    assert cho_steps[0] == 30 // 3 + 1  # +1: row 0 is the reset sample
+
+
+def test_simulate_save_and_report(tmp_path):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    df = simulate(
+        sim_time=timedelta(hours=2),
+        patient_names=["adolescent#001", "adult#003"],
+        controller="BB",
+        save_path=str(tmp_path),
+        start_time=datetime(2018, 1, 1),
+    )
+    assert (tmp_path / "adolescent#001.csv").exists()
+    assert (tmp_path / "adult#003.csv").exists()
+    assert (tmp_path / "performance_stats.csv").exists()
+    import matplotlib.pyplot as plt
+
+    plt.close("all")
+
+
+def test_sim_obj_and_batch_fusion(tmp_path):
+    objs = [
+        SimObj(
+            patient_name=n,
+            controller="BB",
+            sim_time=timedelta(hours=2),
+            start_time=datetime(2018, 1, 1),
+            seed=1,
+            path=str(tmp_path),
+        )
+        for n in ("adolescent#001", "adolescent#002")
+    ]
+    results = batch_sim(objs, parallel=True)
+    assert len(results) == 2
+    for r, n in zip(results, ("adolescent#001", "adolescent#002")):
+        assert len(r) == 2 * 60 // 3 + 1
+        assert (tmp_path / f"{n}.csv").exists()
+
+
+def test_batch_sim_matches_individual_sim():
+    """Fused cohort program == per-patient programs
+    (reference: tests/test_sim_engine.py:24-86 parallel==serial)."""
+    mk = lambda n: SimObj(
+        patient_name=n,
+        controller="BB",
+        sim_time=timedelta(hours=2),
+        start_time=datetime(2018, 1, 1),
+        seed=3,
+    )
+    names = ["adolescent#001", "child#002"]
+    fused = batch_sim([mk(n) for n in names])
+    singles = [sim(mk(n)) for n in names]
+    for f, s in zip(fused, singles):
+        np.testing.assert_allclose(
+            np.asarray(f.BG), np.asarray(s.BG), rtol=1e-6
+        )
+
+
+def test_interactive_ui_wizard(monkeypatch):
+    """Scripted stdin drives the full wizard
+    (reference: tests/test_ui.py:15-27)."""
+    from simglucose_tpu.sim.user_interface import simulate as ui_simulate
+
+    answers = iter(
+        [
+            "2",  # sim hours
+            "1",  # Random Scenario
+            "1",  # Basal-Bolus controller
+            "5",  # select individual patients
+            "1",  # adolescent#001
+            "1",  # Dexcom
+            "7",  # cgm seed
+            "2",  # Insulet
+            "6",  # start hour
+            "",  # save path: skip
+            "n",  # animate
+            "y",  # parallel
+        ]
+    )
+    with mock.patch("builtins.input", side_effect=lambda *a: next(answers)):
+        df = ui_simulate()
+    assert len(df.loc["adolescent#001"]) == 2 * 60 // 3 + 1
