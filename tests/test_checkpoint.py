@@ -1,0 +1,66 @@
+"""Checkpoint/resume: a resumed rollout must continue bit-identically."""
+import numpy as np
+import jax
+
+from simglucose_tpu.controllers.functional import pid_controller
+from simglucose_tpu.envs.build import cohort_names, make_env
+from simglucose_tpu.envs.rollout import (
+    batch_reset,
+    broadcast_ctrl_state,
+    make_batch_rollout_fn,
+)
+from simglucose_tpu.utils.checkpoint import (
+    CheckpointManager,
+    restore_state,
+    save_state,
+)
+
+
+def test_save_restore_roundtrip(tmp_path):
+    B = 4
+    cfg, params = make_env(cohort_names(B), batch=True, dtype=np.float32)
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    state, res = batch_reset(cfg, params, keys)
+    p = str(tmp_path / "state.npz")
+    save_state(p, state)
+    state2 = restore_state(p, state)
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(state2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_continues_identically(tmp_path):
+    B, T = 4, 8
+    cfg, params = make_env(cohort_names(B), batch=True, dtype=np.float32)
+    ctrl0, ctrl = pid_controller(cfg.sample_time, P=-1e-4)
+    keys = jax.random.split(jax.random.PRNGKey(1), B)
+    state, res = batch_reset(cfg, params, keys)
+    ctrl_state = broadcast_ctrl_state(ctrl0, B)
+    run = make_batch_rollout_fn(cfg, ctrl, n_steps=T, donate=False)
+
+    # straight-through: 2T steps
+    s1, last1, tr1 = run(params, state, ctrl_state, res)
+    s_cont, last_cont, tr_cont = run(params, s1, ctrl_state, last1)
+
+    # checkpointed: save after T, restore, continue
+    mgr = CheckpointManager(str(tmp_path))
+    mgr.save(T, (s1, last1))
+    s_r, last_r = mgr.restore(like=(s1, last1))
+    s2, last2, tr2 = run(params, s_r, ctrl_state, last_r)
+
+    np.testing.assert_array_equal(
+        np.asarray(tr_cont.BG), np.asarray(tr2.BG)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(tr_cont.CGM), np.asarray(tr2.CGM)
+    )
+
+
+def test_manager_rolling(tmp_path):
+    mgr = CheckpointManager(str(tmp_path), max_to_keep=2)
+    tree = {"a": np.arange(3), "b": np.float32(1.5)}
+    for s in (1, 2, 3, 4):
+        mgr.save(s, tree)
+    assert mgr.all_steps() == [3, 4]
+    assert mgr.latest_step() == 4
+    out = mgr.restore(like=tree)
+    np.testing.assert_array_equal(out["a"], tree["a"])
