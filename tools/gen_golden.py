@@ -128,6 +128,46 @@ def gen_closedloop():
     print("wrote", path, f"rows={len(df)} BG0={df.BG.iloc[0]} CGM0={df.CGM.iloc[0]}")
 
 
+def gen_closedloop_variants():
+    """Closed-loop day traces across patients AND sensor hardware (different
+    sample_time -> different framework scan shapes): adult#005 + GuardianRT
+    (5 min), child#003 + Navigator (1 min)."""
+    from datetime import datetime, timedelta
+
+    from simglucose.actuator.pump import InsulinPump
+    from simglucose.controller.basal_bolus_ctrller import BBController
+    from simglucose.sensor.cgm import CGMSensor
+    from simglucose.simulation.env import T1DSimEnv
+    from simglucose.simulation.scenario_gen import RandomScenario
+    from simglucose.simulation.sim_engine import SimObj
+
+    configs = [
+        ("adult#005", "GuardianRT", 2, 2),
+        ("child#003", "Navigator", 3, 5),
+    ]
+    for pname, sname, cgm_seed, scen_seed in configs:
+        start = datetime(2018, 1, 1, 0, 0, 0)
+        patient = refharness.make_patient(pname)
+        sensor = CGMSensor.withName(sname, seed=cgm_seed)
+        pump = InsulinPump.withName("Insulet")
+        scenario = RandomScenario(start_time=start, seed=scen_seed)
+        env = T1DSimEnv(patient, sensor, pump, scenario)
+        obj = SimObj(env, BBController(), timedelta(days=1), animate=False, path=None)
+        obj.simulate()
+        df = obj.results()
+        tag = f"{pname.replace('#', '_')}_{sname}"
+        npz = os.path.join(OUT, f"closedloop_{tag}.npz")
+        np.savez_compressed(
+            npz,
+            BG=df.BG.to_numpy(),
+            CGM=df.CGM.to_numpy(),
+            CHO=df.CHO.to_numpy(),
+            insulin=df.insulin.to_numpy(),
+            Risk=df.Risk.to_numpy(),
+        )
+        print("wrote", npz, f"rows={len(df)} BG0={df.BG.iloc[0]}")
+
+
 def gen_init_bg():
     out = {}
     params = refharness.make_patient("adolescent#001")._params
