@@ -169,6 +169,11 @@ def make_batch_rollout_fn(
         (state, ctrl_state, last), traj = jax.lax.scan(
             body, (state, ctrl_init, prev_res), None, length=n_steps
         )
+        # state and last share values (e.g. .done) — without a barrier XLA
+        # CSEs them into ONE output buffer, and feeding both back into the
+        # next donated call trips "buffer was previously donated" (the
+        # f(donate(a), a) hazard).  The barrier forces distinct buffers.
+        state, last = jax.lax.optimization_barrier((state, last))
         return state, last, traj
 
     return jax.jit(run, donate_argnums=(1,) if donate else ())
@@ -192,6 +197,9 @@ def batch_reset(cfg: EnvConfig, params: EnvParams, keys: jax.Array, start_min=No
         start_min = hours * 60
     else:
         start_min = jnp.broadcast_to(jnp.asarray(start_min, jnp.int32), (B,))
-    return jax.vmap(lambda p, k, sm: env_reset(cfg, p, k, start_min=sm))(
+    state, res = jax.vmap(lambda p, k, sm: env_reset(cfg, p, k, start_min=sm))(
         params, keys, start_min
     )
+    # Distinct buffers for state vs res (see make_batch_rollout_fn): the
+    # reset state is typically fed to a donated rollout alongside res.
+    return jax.lax.optimization_barrier((state, res))
