@@ -24,7 +24,7 @@ def make_env(
     dtype=np.float32,
     batch: bool = False,
     substeps: int = 1,
-    method: str = "rk45",
+    method: str = "rk4",
     noise_seq: Optional[np.ndarray] = None,
     meal_seq: Optional[np.ndarray] = None,
     custom_times: Optional[np.ndarray] = None,
@@ -38,6 +38,11 @@ def make_env(
     (single-env semantics, vmap-ready).  With ``batch=True`` leaves keep the
     leading [B] axis; sensor/pump params are broadcast to [B] so the whole
     EnvParams pytree vmaps along axis 0.
+
+    ``method='rk4'`` (default) is the fast native integrator: vs the
+    reference-grade rk45/substeps=4 configuration it differs by <2e-3 mg/dL
+    max BG over a closed-loop day (tests/test_integrators.py) at 2/3 the
+    stage count.  Verification configs pin ``method='rk45', substeps=4``.
     """
     patient = tables.load_patient_params(patient_names, dtype=dtype)
     B = patient.BW.shape[0]

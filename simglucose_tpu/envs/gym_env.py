@@ -170,6 +170,7 @@ class T1DSimGymEnv(gymnasium.Env if gymnasium else object):
             pump=self.pump_name,
             dtype=self._dtype,
             substeps=self._substeps,
+            method="rk45" if self.compat_mode else "rk4",
             noise_seq=noise_seq,
             meal_seq=meal_seq,
             custom_times=custom_times,

@@ -179,6 +179,39 @@ def make_batch_rollout_fn(
     return jax.jit(run, donate_argnums=(1,) if donate else ())
 
 
+def make_batch_continue_fn(
+    cfg: EnvConfig,
+    ctrl_fn: ControllerFn,
+    n_steps: int,
+    reward_fun=risk_diff_reward,
+):
+    """Compiled batched continuation WITHOUT auto-reset: steps existing
+    episodes onward (the reference's SimObj loop keeps integrating past
+    termination too, sim_engine.py:33-37).  Used for chunked rollouts —
+    live animation, bounded-compile multi-day sims.
+
+    ``ctrl_state`` must be batched per env (use :func:`broadcast_ctrl_state`
+    for shared state).  Returns run(params[B], state[B], ctrl_state[B],
+    prev_res[B]) -> (state, ctrl_state, last, traj[T, B]).
+    """
+    step1 = partial(env_step, cfg, reward_fun=reward_fun)
+
+    def run(params, state: EnvState, ctrl_state, prev_res: StepResult):
+        def body(carry, _):
+            state, ctrl_state, prev = carry
+            ctrl_state, action = jax.vmap(ctrl_fn)(ctrl_state, prev)
+            state, res = jax.vmap(step1)(params, state, action)
+            return (state, ctrl_state, res), res
+
+        (state, ctrl_state, last), traj = jax.lax.scan(
+            body, (state, ctrl_state, prev_res), None, length=n_steps
+        )
+        state, last = jax.lax.optimization_barrier((state, last))
+        return state, ctrl_state, last, traj
+
+    return jax.jit(run)
+
+
 def broadcast_ctrl_state(ctrl_init, batch: int):
     """Tile a single-env controller state across a batch of ``batch`` envs."""
     return jax.tree.map(

@@ -44,7 +44,6 @@ def create_daily_plan(
     minute) and amount 0.  Times are rounded to whole minutes-of-day;
     amounts to whole grams, floored at 0 — same rounding as the reference.
     """
-    k_occ, k_time, k_amt = jax.random.split(key, 3)
     prob = jnp.asarray(MEAL_PROB, dtype)
     lb = jnp.asarray(TIME_LB, dtype)
     ub = jnp.asarray(TIME_UB, dtype)
@@ -53,14 +52,19 @@ def create_daily_plan(
     amu = jnp.asarray(AMOUNT_MU, dtype)
     asig = jnp.asarray(AMOUNT_SIGMA, dtype)
 
-    occurs = jax.random.uniform(k_occ, (6,), dtype=dtype) < prob
-    zt = jax.random.truncated_normal(
-        k_time, (lb - mu) / sigma, (ub - mu) / sigma, (6,), dtype=dtype
+    # ONE counter-based draw feeds all 18 variates (occurrence, truncnorm
+    # meal times via inverse-CDF, normal amounts) — this runs every env step
+    # under SPMD (masked regen), so threefry invocations are the cost driver.
+    u = jax.random.uniform(
+        key, (18,), dtype=dtype, minval=jnp.finfo(dtype).tiny, maxval=1.0
     )
+    occurs = u[:6] < prob
+    a_cdf = jax.scipy.special.ndtr((lb - mu) / sigma)
+    b_cdf = jax.scipy.special.ndtr((ub - mu) / sigma)
+    zt = jax.scipy.special.ndtri(a_cdf + u[6:12] * (b_cdf - a_cdf))
     times = jnp.round(mu + sigma * zt)
-    amounts = jnp.maximum(
-        jnp.round(amu + asig * jax.random.normal(k_amt, (6,), dtype=dtype)), 0.0
-    )
+    z_amt = jax.scipy.special.ndtri(u[12:18])
+    amounts = jnp.maximum(jnp.round(amu + asig * z_amt), 0.0)
     times = jnp.where(occurs, times, -1.0)
     amounts = jnp.where(occurs, amounts, 0.0)
     return times, amounts

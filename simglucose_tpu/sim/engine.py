@@ -142,21 +142,32 @@ def simulate(
     start_min = (start_time.hour * 60 + start_time.minute) % 1440
 
     tic = time.time()
-    run = jax.jit(
-        lambda p, k, ci: rollout_batch(
-            cfg,
-            p,
-            k,
-            ci,
-            ctrl_fn,
-            n_steps,
-            start_min=start_min,
-            reward_fun=reward_fun,
-            ctrl_in_axes=ctrl_axes,
+    if animate:
+        df = _simulate_animated(
+            cfg, env_params, ctrl_init, ctrl_fn, ctrl_axes, keys, n_steps,
+            start_min, reward_fun, patient_names, start_time,
         )
-    )
-    state, reset_res, traj = run(env_params, keys, ctrl_init)
-    jax.block_until_ready(traj.BG)
+    else:
+        run = jax.jit(
+            lambda p, k, ci: rollout_batch(
+                cfg,
+                p,
+                k,
+                ci,
+                ctrl_fn,
+                n_steps,
+                start_min=start_min,
+                reward_fun=reward_fun,
+                ctrl_in_axes=ctrl_axes,
+            )
+        )
+        state, reset_res, traj = run(env_params, keys, ctrl_init)
+        jax.block_until_ready(traj.BG)
+        # [B, T] -> [T, B] for the frame builder
+        traj_tb = jax.tree.map(lambda a: np.asarray(a).swapaxes(0, 1), traj)
+        df = cohort_frame(
+            reset_res, traj_tb, patient_names, start_time, cfg.sample_time
+        )
     toc = time.time()
     logger.info(
         "Simulation of %d patients x %s took %.3f s (one compiled program)",
@@ -165,23 +176,71 @@ def simulate(
         toc - tic,
     )
 
-    # [B, T] -> [T, B] for the frame builder
-    traj_tb = jax.tree.map(lambda a: np.asarray(a).swapaxes(0, 1), traj)
-    df = cohort_frame(reset_res, traj_tb, patient_names, start_time, cfg.sample_time)
-
-    if animate:
-        from simglucose_tpu.analysis.rendering import Viewer
-
-        for name in patient_names[:4]:
-            v = Viewer(start_time, name)
-            v.render(df.loc[name])
-
     if save_path is not None:
         os.makedirs(save_path, exist_ok=True)
         for name in patient_names:
             df.loc[name].to_csv(os.path.join(save_path, f"{name}.csv"))
         report(df, save_path=save_path)
     return df
+
+
+def _simulate_animated(
+    cfg,
+    env_params,
+    ctrl_init,
+    ctrl_fn,
+    ctrl_axes,
+    keys,
+    n_steps,
+    start_min,
+    reward_fun,
+    patient_names,
+    start_time,
+):
+    """Chunked rollout with incremental rendering (the reference's live
+    animation, env.py:157-167): run ~1-hour compiled chunks, redraw the
+    first few patients' Viewers after each chunk."""
+    from simglucose_tpu.analysis.rendering import Viewer
+    from simglucose_tpu.envs.rollout import (
+        batch_reset,
+        broadcast_ctrl_state,
+        make_batch_continue_fn,
+    )
+
+    B = len(patient_names)
+    state, reset_res = batch_reset(cfg, env_params, keys, start_min=start_min)
+    if ctrl_axes is None:
+        ctrl_state = broadcast_ctrl_state(ctrl_init, B)
+    else:
+        ctrl_state = ctrl_init
+    chunk = max(60 // cfg.sample_time, 1)
+    run = make_batch_continue_fn(cfg, ctrl_fn, chunk, reward_fun=reward_fun)
+
+    viewers = [Viewer(start_time, n) for n in patient_names[:4]]
+    pieces = []  # [T, B] StepResult chunks
+    last = reset_res
+    done_steps = 0
+    while done_steps < n_steps:
+        state, ctrl_state, last, traj = run(env_params, state, ctrl_state, last)
+        n_take = min(chunk, n_steps - done_steps)
+        traj = jax.tree.map(lambda a: np.asarray(a)[:n_take], traj)
+        pieces.append(traj)
+        done_steps += n_take
+        df_sofar = cohort_frame(
+            reset_res,
+            jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *pieces),
+            patient_names,
+            start_time,
+            cfg.sample_time,
+        )
+        for v in viewers:
+            v.render(df_sofar.loc[v.patient_name])
+    for v in viewers:
+        v.close()
+    full = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *pieces)
+    return cohort_frame(
+        reset_res, full, patient_names, start_time, cfg.sample_time
+    )
 
 
 class SimObj:

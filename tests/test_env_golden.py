@@ -43,6 +43,7 @@ def _run_golden_config():
         noise_seq=noise,
         meal_seq=meals,
         substeps=4,
+        method="rk45",
     )
     quest = jax.tree.map(
         lambda a: a[0], load_quest_params("adolescent#001", dtype=np.float64)

@@ -51,6 +51,7 @@ def test_closedloop_variant_golden(pname, sname, cgm_seed, scen_seed, fixture):
         noise_seq=noise,
         meal_seq=meals,
         substeps=4,
+        method="rk45",
     )
     quest = jax.tree.map(lambda a: a[0], load_quest_params(pname, dtype=np.float64))
     ctrl0, ctrl = bb_controller(bb_params(params.patient, quest), cfg.sample_time)
