@@ -126,3 +126,42 @@ __all__ = [
     "observe_gsub",
     "basal_rate",
 ]
+
+
+def _demo():  # pragma: no cover
+    """Open-loop demo — the patient layer with zero framework above it
+    (reference: t1dpatient.py:284-323): constant basal, 80 g meal + bolus at
+    t=100 min, 1000 minutes, plotted."""
+    import numpy as np
+
+    from simglucose_tpu.params import load_patient_params
+
+    params = jax.tree.map(
+        lambda a: jnp.asarray(a[0]), load_patient_params("adolescent#001")
+    )
+    basal = float(basal_rate(params))
+    state = patient_init(params)
+
+    def minute(state, t):
+        ins = jnp.where(t == 100, 80.0 / 6.0 + basal, basal)
+        cho = jnp.where(t == 100, 80.0, 0.0)
+        state = patient_step(state, params, PatientAction(CHO=cho, insulin=ins))
+        return state, observe_gsub(state.x, params)
+
+    _, bg = jax.lax.scan(minute, state, jnp.arange(1000))
+    bg = np.asarray(bg)
+    print(f"BG: start={bg[0]:.1f} peak={bg.max():.1f} end={bg[-1]:.1f} mg/dL")
+    try:
+        import matplotlib.pyplot as plt
+
+        plt.plot(bg)
+        plt.xlabel("t (min)")
+        plt.ylabel("BG (mg/dL)")
+        plt.title("adolescent#001 open loop, 80 g meal @ t=100")
+        plt.show()
+    except Exception:
+        pass
+
+
+if __name__ == "__main__":  # pragma: no cover
+    _demo()
