@@ -62,10 +62,28 @@ def model_rhs(
     Returns ``dx/dt`` with the same shape as ``x``.  Autonomous in t (the
     reference RHS ignores its ``t`` argument).
     """
+    dxs = model_rhs_parts(
+        tuple(x[..., i] for i in range(13)), params, d_mg, insulin_rate, Dbar
+    )
+    return jnp.stack(dxs, axis=-1)
+
+
+def model_rhs_parts(
+    xs: tuple,
+    params: PatientParams,
+    d_mg: jnp.ndarray,
+    insulin_rate: jnp.ndarray,
+    Dbar: jnp.ndarray,
+) -> tuple:
+    """The RHS on a TUPLE of 13 per-state arrays.
+
+    This form is layout-agnostic: the env path stacks states on a trailing
+    axis ([..., 13]), while the pallas fast path keeps each state as its own
+    lane-major [rows, 128] tile (a trailing axis of 13 would waste 90% of
+    each TPU register tile).  Single source of truth for the physiology.
+    """
     p = params
-    x0, x1, x2, x3, x4 = x[..., 0], x[..., 1], x[..., 2], x[..., 3], x[..., 4]
-    x5, x6, x7, x8, x9 = x[..., 5], x[..., 6], x[..., 7], x[..., 8], x[..., 9]
-    x10, x11, x12 = x[..., 10], x[..., 11], x[..., 12]
+    x0, x1, x2, x3, x4, x5, x6, x7, x8, x9, x10, x11, x12 = xs
 
     qsto = x0 + x1
 
@@ -129,10 +147,7 @@ def model_rhs(
     dx12 = -p.ksc * x12 + p.ksc * x3
     dx12 = jnp.where(x12 >= 0, dx12, 0.0)
 
-    return jnp.stack(
-        [dx0, dx1, dx2, dx3, dx4, dx5, dx6, dx7, dx8, dx9, dx10, dx11, dx12],
-        axis=-1,
-    )
+    return (dx0, dx1, dx2, dx3, dx4, dx5, dx6, dx7, dx8, dx9, dx10, dx11, dx12)
 
 
 # ---------------------------------------------------------------------------

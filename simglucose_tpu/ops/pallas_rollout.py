@@ -1,0 +1,635 @@
+"""Pallas fast path: the ENTIRE closed-loop rollout as one TPU kernel.
+
+The XLA scan path tops out ~24M env-steps/s/chip regardless of batch size:
+every env step crosses many fusion boundaries (scenario, 3 ODE minutes,
+noise, risk, reset-merge), each a separate kernel whose state round-trips
+HBM.  This kernel keeps the FULL simulator state in VMEM/registers for a
+whole T-step rollout — per-step HBM traffic is only the trajectory outputs —
+and runs the physics on lane-major [rows, 128] tiles via the same
+:func:`simglucose_tpu.models.uva_padova.model_rhs_parts` physiology the env
+path uses.
+
+Scope (the high-throughput cohort-simulation configuration — the analog of
+the reference's batch_sim use case, sim_engine.py:65-76):
+  * rk4, substeps=1, f32, Dexcom-style static sample_time
+  * native CGM noise law (AR(1) at the 15-min lattice -> Johnson-SU ->
+    Catmull-Rom), driven by the TPU hardware PRNG instead of threefry
+  * native random daily meal scenario law (same distributions as
+    scenario/meal.py, reference scenario_gen.py:33-60)
+  * gym-style auto-reset with random start hour + random initial BG
+  * built-in controller: PID (gains as static floats) or constant basal
+  * reward = risk_diff (reference env.py:27-33)
+
+For custom controllers/rewards/sensors use the XLA path; both paths share
+the same physics and parameter tables.  Statistical equivalence between the
+two paths is asserted in tests/test_pallas_rollout.py; the deterministic
+(no-noise/no-meal/no-reset) configuration must match env_step EXACTLY.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from simglucose_tpu.core.types import PatientParams
+from simglucose_tpu.models.uva_padova import EAT_RATE, model_rhs_parts
+
+LANES = 128
+MDL_SAMPLE_TIME = 15  # noise lattice spacing, min (noise_gen.py:17)
+MINUTES_PER_DAY = 1440
+
+# Meal-slot law (scenario/meal.py, reference scenario_gen.py:36-44)
+_MEAL_PROB = (0.95, 0.3, 0.95, 0.3, 0.95, 0.3)
+_TIME_LB = tuple(x * 60.0 for x in (5, 9, 10, 14, 16, 20))
+_TIME_UB = tuple(x * 60.0 for x in (9, 10, 14, 16, 20, 23))
+_TIME_MU = tuple(x * 60.0 for x in (7, 9.5, 12, 15, 18, 21.5))
+_TIME_SIGMA = (60.0, 30.0, 60.0, 30.0, 60.0, 30.0)
+_AMOUNT_MU = (45.0, 10.0, 70.0, 10.0, 80.0, 10.0)
+_AMOUNT_SIGMA = (10.0, 5.0, 10.0, 5.0, 10.0, 5.0)
+
+# Order of the packed per-patient parameter planes fed to the kernel:
+# the 34 non-x0 PatientParams fields, then x0_1..x0_13, then (basal,) —
+# see pack_params().
+_PARAM_FIELDS = [f for f in PatientParams._fields if f != "x0"]
+NP_PLANES = len(_PARAM_FIELDS) + 13 + 1
+
+
+@dataclasses.dataclass(frozen=True)
+class PallasRolloutConfig:
+    sample_time: int = 3
+    n_steps: int = 256  # env steps per call
+    block_rows: int = 32  # patients per block = block_rows * 128
+    t_chunk: int = 32  # env steps per grid step (traj VMEM block)
+    # sensor (Dexcom row of params/sensor_params.csv)
+    pacf: float = 0.7
+    gamma: float = -0.5444
+    lam: float = 15.9574
+    delta: float = 1.6898
+    xi: float = -5.47
+    cgm_min: float = 39.0
+    cgm_max: float = 600.0
+    # pump (Insulet row of params/pump_params.csv)
+    inc_basal: float = 0.05
+    min_basal: float = 0.0
+    max_basal: float = 30.0
+    inc_bolus: float = 0.05
+    min_bolus: float = 0.0
+    max_bolus: float = 30.0
+    # controller: 'pid' | 'const'
+    controller: str = "pid"
+    pid_p: float = -1e-4
+    pid_i: float = -1e-7
+    pid_d: float = 0.0
+    pid_target: float = 140.0
+    const_basal: float = 0.0
+    # env
+    bg_done_low: float = 70.0
+    bg_done_high: float = 350.0
+    random_init_bg: bool = True
+    # deterministic=True: no noise, no meals, no resets, x0 init — the
+    # exact-parity-vs-env_step test configuration
+    deterministic: bool = False
+
+
+def pack_params(params: PatientParams, basal: jnp.ndarray) -> jnp.ndarray:
+    """PatientParams [B] -> packed [NP_PLANES, rows, 128] planes."""
+    cols = [getattr(params, f) for f in _PARAM_FIELDS]
+    cols += [params.x0[:, i] for i in range(13)]
+    cols += [basal]
+    flat = jnp.stack([jnp.asarray(c, jnp.float32) for c in cols])  # [NP, B]
+    B = flat.shape[1]
+    if B % LANES:
+        raise ValueError(f"batch {B} must be a multiple of {LANES}")
+    return flat.reshape(NP_PLANES, B // LANES, LANES)
+
+
+def _unpack_params(pref, rs: slice) -> tuple:
+    """Packed planes ref -> (PatientParams-like namespace of [R,128], x0 tuple,
+    basal)."""
+    vals = {f: pref[i, rs] for i, f in enumerate(_PARAM_FIELDS)}
+    n = len(_PARAM_FIELDS)
+    x0 = tuple(pref[n + i, rs] for i in range(13))
+    basal = pref[n + 13, rs]
+    # PatientParams requires x0; give it a dummy (kernel never uses .x0)
+    p = PatientParams(x0=x0[0], **vals)
+    return p, x0, basal
+
+
+# ---------------------------------------------------------------------------
+# In-kernel RNG helpers (TPU hardware PRNG)
+# ---------------------------------------------------------------------------
+
+
+def _uniform(shape):
+    """U(0,1) in [1e-7, 1): random bits -> float via the exponent trick.
+
+    prng_random_bits yields int32 — bitcast to uint32 BEFORE shifting, or the
+    arithmetic shift drags sign bits into the exponent (NaNs)."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    f = pltpu.bitcast((bits >> 9) | jnp.uint32(0x3F800000), jnp.float32)
+    return jnp.maximum(f - 1.0, 1e-7)  # [1.0, 2.0) -> [1e-7, 1.0)
+
+
+def _normal_pair(shape):
+    """Two N(0,1) draws per lane via Box-Muller."""
+    u1 = _uniform(shape)
+    u2 = _uniform(shape)
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    th = (2.0 * math.pi) * u2
+    return r * jnp.cos(th), r * jnp.sin(th)
+
+
+def _ndtri(p):
+    """Inverse standard-normal CDF (Acklam's rational approximation,
+    |rel err| < 1.15e-9 — far below the f32 ulp)."""
+    a = (-3.969683028665376e01, 2.209460984245205e02, -2.759285104469687e02,
+         1.383577518672690e02, -3.066479806614716e01, 2.506628277459239e00)
+    b = (-5.447609879822406e01, 1.615858368580409e02, -1.556989798598866e02,
+         6.680131188771972e01, -1.328068155288572e01)
+    c = (-7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e00,
+         -2.549732539343734e00, 4.374664141464968e00, 2.938163982698783e00)
+    d = (7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e00,
+         3.754408661907416e00)
+    plow = 0.02425
+    p = jnp.clip(p, 1e-7, 1.0 - 1e-7)
+
+    # central region
+    q = p - 0.5
+    r = q * q
+    num = ((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4]) * r + a[5]
+    den = (((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4]) * r) + 1.0
+    x_c = num * q / den
+
+    # lower tail
+    ql = jnp.sqrt(-2.0 * jnp.log(p))
+    num_l = ((((c[0] * ql + c[1]) * ql + c[2]) * ql + c[3]) * ql + c[4]) * ql + c[5]
+    den_l = (((d[0] * ql + d[1]) * ql + d[2]) * ql + d[3]) * ql + 1.0
+    x_l = num_l / den_l
+
+    # upper tail (symmetry)
+    qu = jnp.sqrt(-2.0 * jnp.log(1.0 - p))
+    num_u = ((((c[0] * qu + c[1]) * qu + c[2]) * qu + c[3]) * qu + c[4]) * qu + c[5]
+    den_u = (((d[0] * qu + d[1]) * qu + d[2]) * qu + d[3]) * qu + 1.0
+    x_u = -num_u / den_u
+
+    return jnp.where(p < plow, x_l, jnp.where(p > 1.0 - plow, x_u, x_c))
+
+
+# ---------------------------------------------------------------------------
+# In-kernel simulator pieces (all on [R, 128] tiles)
+# ---------------------------------------------------------------------------
+
+
+def _johnson(cfg: PallasRolloutConfig, x):
+    # sinh via exp (Mosaic has no sinh lowering)
+    z = (x - cfg.gamma) / cfg.delta
+    ez = jnp.exp(z)
+    return cfg.xi + cfg.lam * 0.5 * (ez - 1.0 / ez)
+
+
+def _catmull(l0, l1, l2, l3, u):
+    m1 = 0.5 * (l2 - l0)
+    m2 = 0.5 * (l3 - l1)
+    u2 = u * u
+    u3 = u2 * u
+    return (
+        (2.0 * u3 - 3.0 * u2 + 1.0) * l1
+        + (u3 - 2.0 * u2 + u) * m1
+        + (-2.0 * u3 + 3.0 * u2) * l2
+        + (u3 - u2) * m2
+    )
+
+
+def _quantize(amount, inc, lo, hi):
+    """Pump quantization (reference actuator/pump.py:23-39)."""
+    return jnp.clip(jnp.round(amount * 6000.0 / inc) * inc / 6000.0, lo, hi)
+
+
+def _draw_meal_plan(cfg: PallasRolloutConfig, shape):
+    """One day's meal plan: (times[6 of shape], amounts[6 of shape])."""
+    times, amounts = [], []
+    for s in range(6):
+        u_occ = _uniform(shape)
+        u_t = _uniform(shape)
+        u_a = _uniform(shape)
+        mu, sig = _TIME_MU[s], _TIME_SIGMA[s]
+        a_cdf = 0.5 * (1.0 + math.erf((_TIME_LB[s] - mu) / sig / math.sqrt(2.0)))
+        b_cdf = 0.5 * (1.0 + math.erf((_TIME_UB[s] - mu) / sig / math.sqrt(2.0)))
+        t = jnp.round(mu + sig * _ndtri(a_cdf + u_t * (b_cdf - a_cdf)))
+        amt = jnp.maximum(
+            jnp.round(_AMOUNT_MU[s] + _AMOUNT_SIGMA[s] * _ndtri(u_a)), 0.0
+        )
+        occurs = u_occ < _MEAL_PROB[s]
+        times.append(jnp.where(occurs, t, -1.0))
+        amounts.append(jnp.where(occurs, amt, 0.0))
+    return times, amounts
+
+
+def _rk4_minute(p, xs, d_mg, insulin_rate, Dbar):
+    f = lambda ys: model_rhs_parts(ys, p, d_mg, insulin_rate, Dbar)
+    add = lambda ys, ks, c: tuple(y + c * k for y, k in zip(ys, ks))
+    k1 = f(xs)
+    k2 = f(add(xs, k1, 0.5))
+    k3 = f(add(xs, k2, 0.5))
+    k4 = f(add(xs, k3, 1.0))
+    return tuple(
+        x + (1.0 / 6.0) * (a + 2.0 * b + 2.0 * c_ + d)
+        for x, a, b, c_, d in zip(xs, k1, k2, k3, k4)
+    )
+
+
+def _fbg_risk(bg):
+    logbg = jnp.log(jnp.maximum(bg, 1.0))
+    f = 1.509 * (jnp.power(logbg, 1.084) - 5.381)
+    return 10.0 * f * f * jnp.sign(f)  # signed risk: <0 hypo, >0 hyper
+
+
+def _risk_of(bg):
+    logbg = jnp.log(jnp.maximum(bg, 1.0))
+    f = 1.509 * (jnp.power(logbg, 1.084) - 5.381)
+    return 10.0 * f * f
+
+
+# State plane indices in the f32 scratch (all [R, 128]):
+#   0..12  ODE states
+#   13 planned_meal  14 last_CHO  15 is_eating  16 last_Qsto  17 foodtaken
+#   18 last_CGM      19 e         20..23 lattice
+#   24..29 meal_times 30..35 meal_amounts
+#   36 pid_integ     37 pid_prev  38 prev_CGM (for reward)  39 have_prev
+NS_F = 40
+#   int planes: 0 t_min (episode minutes)  1 start_min  2 day  3 seg
+#   4 lattice_next  5 sample_count
+NS_I = 6
+
+
+def _reset_values(cfg: PallasRolloutConfig, x0, shape, with_plan: bool = True):
+    """Fresh-episode state values (patient/sensor/scenario init).
+
+    ``with_plan=False`` skips drawing a meal plan (the in-step auto-reset
+    keeps the env's current plan: daily plans are i.i.d., so a new episode
+    consuming the existing plan is the same law at ~40% less per-step math).
+    """
+    xs = list(x0)
+    if cfg.random_init_bg and not cfg.deterministic:
+        z0, z1 = _normal_pair(shape)
+        z2, _ = _normal_pair(shape)
+        for idx, z in ((3, z0), (4, z1), (12, z2)):
+            mean = x0[idx]
+            xs[idx] = mean + jnp.sqrt(0.1 * mean) * z
+    zero = jnp.zeros(shape, jnp.float32)
+    f = {
+        "xs": tuple(xs),
+        "planned": zero,
+        "last_CHO": zero,
+        "eating": zero,
+        "last_Qsto": xs[0] + xs[1],
+        "foodtaken": zero,
+        "pid_integ": zero,
+        "pid_prev": zero,
+        "have_prev": zero,
+    }
+    # sensor lattice init (ops/noise.py:52-73)
+    if cfg.deterministic:
+        f["e"] = zero
+        f["lat"] = (zero, zero, zero, zero)
+    else:
+        z0, z1 = _normal_pair(shape)
+        z2, _ = _normal_pair(shape)
+        e0 = z0
+        e1 = cfg.pacf * (e0 + z1)
+        e2 = cfg.pacf * (e1 + z2)
+        f["e"] = e2
+        f["lat"] = (
+            _johnson(cfg, e0),
+            _johnson(cfg, e0),
+            _johnson(cfg, e1),
+            _johnson(cfg, e2),
+        )
+    # scenario plan for day 0
+    if cfg.deterministic:
+        f["meal_t"] = [jnp.full(shape, -1.0)] * 6
+        f["meal_a"] = [zero] * 6
+        f["start_min"] = jnp.zeros(shape, jnp.int32)
+    else:
+        if with_plan:
+            mt, ma = _draw_meal_plan(cfg, shape)
+            f["meal_t"], f["meal_a"] = mt, ma
+        hour = jnp.floor(_uniform(shape) * 24.0).astype(jnp.int32)
+        f["start_min"] = hour * 60
+    return f
+
+
+def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
+    st = cfg.sample_time
+    TC = cfg.t_chunk
+    R = cfg.block_rows
+    shape = (R, LANES)
+    n_tchunks = cfg.n_steps // TC
+
+    def kernel(seed_ref, pref, cgm_out, bg_out, rew_out, done_out,
+               cho_out, ins_out, fs, is_):
+        b = pl.program_id(0)
+        t = pl.program_id(1)
+        if not cfg.deterministic:
+            # (prng only exists on real TPUs; the deterministic config — the
+            # CPU interpret-mode parity test — never draws)
+            pltpu.prng_seed(seed_ref[0] + b * jnp.int32(1000003) + t)
+
+        p, x0, basal_rate_u = _unpack_params(pref, slice(None))
+
+        @pl.when(t == 0)
+        def _init():
+            fvals = _reset_values(cfg, x0, shape)
+            for i in range(13):
+                fs[i] = fvals["xs"][i]
+            fs[13] = fvals["planned"]
+            fs[14] = fvals["last_CHO"]
+            fs[15] = fvals["eating"]
+            fs[16] = fvals["last_Qsto"]
+            fs[17] = fvals["foodtaken"]
+            bg0 = fvals["xs"][12] / p.Vg
+            if cfg.deterministic:
+                cgm0 = jnp.clip(bg0, cfg.cgm_min, cfg.cgm_max)
+            else:
+                u = jnp.float32(st) / MDL_SAMPLE_TIME
+                noise0 = _catmull(*fvals["lat"], u * 0.0)  # tau=0 -> lat[1]
+                cgm0 = jnp.clip(bg0 + noise0, cfg.cgm_min, cfg.cgm_max)
+            fs[18] = cgm0
+            fs[19] = fvals["e"]
+            for i in range(4):
+                fs[20 + i] = fvals["lat"][i]
+            for i in range(6):
+                fs[24 + i] = fvals["meal_t"][i]
+                fs[30 + i] = fvals["meal_a"][i]
+            fs[36] = fvals["pid_integ"]
+            fs[37] = fvals["pid_prev"]
+            # prev CGM = the reset history sample; the first step's reward is
+            # risk(reset CGM) - risk(step CGM), matching env_reset's
+            # window = [CGM_hist0] + first-step window_len == 2 (env.py:126,100)
+            fs[38] = cgm0
+            fs[39] = jnp.zeros(shape, jnp.float32)  # (unused padding)
+            is_[0] = jnp.zeros(shape, jnp.int32)  # t_min
+            is_[1] = fvals["start_min"]
+            is_[2] = jnp.zeros(shape, jnp.int32)  # day
+            is_[3] = jnp.zeros(shape, jnp.int32)  # seg
+            is_[4] = jnp.full(shape, 3, jnp.int32)  # lattice_next
+            is_[5] = jnp.zeros(shape, jnp.int32)  # sample_count (0 used at reset)
+
+        # ---- load state ----
+        xs = tuple(fs[i] for i in range(13))
+        planned, last_CHO, eating = fs[13], fs[14], fs[15]
+        last_Qsto, foodtaken = fs[16], fs[17]
+        last_CGM, e_ar = fs[18], fs[19]
+        lat = [fs[20 + i] for i in range(4)]
+        meal_t = [fs[24 + i] for i in range(6)]
+        meal_a = [fs[30 + i] for i in range(6)]
+        pid_integ, pid_prev = fs[36], fs[37]
+        prev_cgm = fs[38]
+        t_min = is_[0]
+        start_min = is_[1]
+        day = is_[2]
+        seg = is_[3]
+        lat_next = is_[4]
+        n_samp = is_[5]
+
+        for i_step in range(TC):
+            # ---- controller acts on the previous step's CGM observation,
+            # exactly like the closed loop (sim_engine.py:33-37) ----
+            if cfg.controller == "pid":
+                obs = prev_cgm
+                control = (
+                    cfg.pid_p * (obs - cfg.pid_target)
+                    + cfg.pid_i * pid_integ
+                    + cfg.pid_d * (obs - pid_prev) / st
+                )
+                pid_integ = pid_integ + (obs - cfg.pid_target) * st
+                pid_prev = obs
+                basal_cmd = control
+            else:
+                basal_cmd = jnp.full(shape, cfg.const_basal, jnp.float32)
+            insulin = _quantize(
+                basal_cmd, cfg.inc_basal, cfg.min_basal, cfg.max_basal
+            )
+
+            # ---- scenario: candidate next-day plan + per-minute lookup ----
+            if not cfg.deterministic:
+                mins_last = start_min + t_min + (st - 1)
+                day_end = mins_last // MINUTES_PER_DAY
+                regen = (day_end > day).astype(jnp.float32)
+                new_t, new_a = _draw_meal_plan(cfg, shape)
+                for s in range(6):
+                    meal_t[s] = regen * new_t[s] + (1.0 - regen) * meal_t[s]
+                    meal_a[s] = regen * new_a[s] + (1.0 - regen) * meal_a[s]
+                day = jnp.maximum(day, day_end)
+
+            CHO_acc = jnp.zeros(shape, jnp.float32)
+            BG_acc = jnp.zeros(shape, jnp.float32)
+            CGM_acc = jnp.zeros(shape, jnp.float32)
+
+            for m in range(st):
+                # meal for this minute (first-match lookup, scenario.py:37-42)
+                if cfg.deterministic:
+                    meal = jnp.zeros(shape, jnp.float32)
+                else:
+                    mod = (start_min + t_min + m) % MINUTES_PER_DAY
+                    modf = mod.astype(jnp.float32)
+                    meal = jnp.zeros(shape, jnp.float32)
+                    taken = jnp.zeros(shape, jnp.float32)
+                    for s in range(6):
+                        hit = (meal_t[s] == modf).astype(jnp.float32) * (
+                            1.0 - taken
+                        )
+                        meal = meal + hit * meal_a[s]
+                        taken = jnp.maximum(taken, hit)
+
+                # meal announcement / eating state machine (patient.py)
+                planned = planned + meal
+                to_eat = jnp.where(
+                    planned > 0, jnp.minimum(EAT_RATE, planned), 0.0
+                )
+                planned = jnp.maximum(planned - to_eat, 0.0)
+                starts = (to_eat > 0) & (last_CHO <= 0)
+                qsto_now = xs[0] + xs[1]
+                last_Qsto = jnp.where(starts, qsto_now, last_Qsto)
+                foodtaken = jnp.where(starts, 0.0, foodtaken)
+                eating_b = starts | (eating > 0)
+                foodtaken = jnp.where(eating_b, foodtaken + to_eat, foodtaken)
+                ends = (to_eat <= 0) & (last_CHO > 0)
+                eating_b = eating_b & ~ends
+                eating = eating_b.astype(jnp.float32)
+                last_CHO = to_eat
+
+                d_mg = to_eat * 1000.0
+                ins_rate = insulin * 6000.0 / p.BW
+                Dbar = last_Qsto + foodtaken * 1000.0
+                xs = _rk4_minute(p, xs, d_mg, ins_rate, Dbar)
+                t_min = t_min + 1
+
+                bg_m = xs[12] / p.Vg
+                if m == st - 1:
+                    # fresh CGM sample (devices/cgm.py + ops/noise.py)
+                    if cfg.deterministic:
+                        cgm_m = jnp.clip(bg_m, cfg.cgm_min, cfg.cgm_max)
+                    else:
+                        tau = (n_samp + 1) * st
+                        k = tau // MDL_SAMPLE_TIME
+                        u = (tau - k * MDL_SAMPLE_TIME).astype(
+                            jnp.float32
+                        ) / MDL_SAMPLE_TIME
+                        need = ((k + 2) >= lat_next).astype(jnp.float32)
+                        z, _ = _normal_pair(shape)
+                        e_new = cfg.pacf * (e_ar + z)
+                        eps_new = _johnson(cfg, e_new)
+                        e_ar = need * e_new + (1.0 - need) * e_ar
+                        new_lat = [
+                            need * l_next + (1.0 - need) * l_cur
+                            for l_cur, l_next in zip(
+                                lat, [lat[1], lat[2], lat[3], eps_new]
+                            )
+                        ]
+                        lat = new_lat
+                        lat_next = lat_next + need.astype(jnp.int32)
+                        seg = k
+                        noise = _catmull(lat[0], lat[1], lat[2], lat[3], u)
+                        cgm_m = jnp.clip(
+                            bg_m + noise, cfg.cgm_min, cfg.cgm_max
+                        )
+                        n_samp = n_samp + 1
+                    last_CGM = cgm_m
+                else:
+                    cgm_m = last_CGM
+
+                CHO_acc = CHO_acc + to_eat / float(st)
+                BG_acc = BG_acc + bg_m / float(st)
+                CGM_acc = CGM_acc + cgm_m / float(st)
+
+            # ---- reward / done (env.py:100-103, risk_diff env.py:27-33) ----
+            reward = _risk_of(prev_cgm) - _risk_of(CGM_acc)
+            done = (BG_acc < cfg.bg_done_low) | (BG_acc > cfg.bg_done_high)
+            donef = done.astype(jnp.float32)
+
+            # ---- write trajectory row ----
+            cgm_out[i_step] = CGM_acc
+            bg_out[i_step] = BG_acc
+            rew_out[i_step] = reward
+            done_out[i_step] = donef
+            cho_out[i_step] = CHO_acc
+            ins_out[i_step] = insulin
+
+            prev_cgm = CGM_acc
+
+            # ---- auto-reset (rollout.py autoreset_step semantics) ----
+            if not cfg.deterministic:
+                r = _reset_values(cfg, x0, shape, with_plan=False)
+                bg0 = r["xs"][12] / p.Vg
+                u0 = jnp.float32(0.0)
+                noise0 = _catmull(*r["lat"], u0)
+                cgm0 = jnp.clip(bg0 + noise0, cfg.cgm_min, cfg.cgm_max)
+                keep = 1.0 - donef
+
+                def mix(old, new):
+                    return keep * old + donef * new
+
+                xs = tuple(mix(x, xn) for x, xn in zip(xs, r["xs"]))
+                planned = mix(planned, r["planned"])
+                last_CHO = mix(last_CHO, r["last_CHO"])
+                eating = mix(eating, r["eating"])
+                last_Qsto = mix(last_Qsto, r["last_Qsto"])
+                foodtaken = mix(foodtaken, r["foodtaken"])
+                last_CGM = mix(last_CGM, cgm0)
+                e_ar = mix(e_ar, r["e"])
+                lat = [mix(l, ln) for l, ln in zip(lat, r["lat"])]
+                # meal plan kept (i.i.d. across episodes — see _reset_values)
+                pid_integ = mix(pid_integ, r["pid_integ"])
+                pid_prev = mix(pid_prev, r["pid_prev"])
+                prev_cgm = mix(prev_cgm, cgm0)
+                keep_i = (1 - done).astype(jnp.int32)
+                done_i = done.astype(jnp.int32)
+                t_min = keep_i * t_min  # reset episode clock to 0
+                start_min = keep_i * start_min + done_i * r["start_min"]
+                day = keep_i * day
+                seg = keep_i * seg
+                lat_next = keep_i * lat_next + done_i * 3
+                n_samp = keep_i * n_samp
+
+        # ---- store state back ----
+        for i in range(13):
+            fs[i] = xs[i]
+        fs[13], fs[14], fs[15] = planned, last_CHO, eating
+        fs[16], fs[17] = last_Qsto, foodtaken
+        fs[18], fs[19] = last_CGM, e_ar
+        for i in range(4):
+            fs[20 + i] = lat[i]
+        for i in range(6):
+            fs[24 + i] = meal_t[i]
+            fs[30 + i] = meal_a[i]
+        fs[36], fs[37] = pid_integ, pid_prev
+        fs[38] = prev_cgm
+        is_[0], is_[1], is_[2] = t_min, start_min, day
+        is_[3], is_[4], is_[5] = seg, lat_next, n_samp
+
+    return kernel
+
+
+def make_pallas_rollout(cfg: PallasRolloutConfig, batch: int, interpret: bool = False):
+    """Build the compiled rollout: (packed_params, seed) -> traj dict.
+
+    ``packed_params`` from :func:`pack_params`; returns arrays [n_steps, B]
+    for CGM/BG/reward/done/CHO/insulin.
+    """
+    R = cfg.block_rows
+    block = R * LANES
+    if batch % block:
+        raise ValueError(f"batch {batch} must be a multiple of {block}")
+    if cfg.n_steps % cfg.t_chunk:
+        raise ValueError("n_steps must be a multiple of t_chunk")
+    n_blocks = batch // block
+    n_tchunks = cfg.n_steps // cfg.t_chunk
+    rows = batch // LANES
+
+    kernel = _make_kernel(cfg, n_blocks)
+    TC = cfg.t_chunk
+
+    out_field = jax.ShapeDtypeStruct((cfg.n_steps, rows, LANES), jnp.float32)
+    traj_spec = pl.BlockSpec(
+        (TC, R, LANES), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_blocks, n_tchunks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
+            pl.BlockSpec(
+                (NP_PLANES, R, LANES),
+                lambda b, t: (0, b, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[out_field] * 6,
+        out_specs=[traj_spec] * 6,
+        scratch_shapes=[
+            pltpu.VMEM((NS_F, R, LANES), jnp.float32),
+            pltpu.VMEM((NS_I, R, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )
+
+    def run(packed_params: jnp.ndarray, seed) -> dict:
+        seed_arr = jnp.asarray([seed], jnp.int32).reshape(1)
+        cgm, bg, rew, done, cho, ins = call(seed_arr, packed_params)
+        unb = lambda a: a.reshape(cfg.n_steps, batch)
+        return {
+            "CGM": unb(cgm),
+            "BG": unb(bg),
+            "reward": unb(rew),
+            "done": unb(done) > 0.5,
+            "CHO": unb(cho),
+            "insulin": unb(ins),
+        }
+
+    return run

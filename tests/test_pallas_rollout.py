@@ -1,0 +1,112 @@
+"""Pallas fast-path rollout: exact parity (deterministic config) vs the XLA
+env path, and law-level statistics for the stochastic config.  Runs in
+pallas interpret mode on CPU (the real kernel compiles on TPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from simglucose_tpu.controllers.functional import pid_controller
+from simglucose_tpu.envs.build import cohort_names, make_env
+from simglucose_tpu.envs.rollout import (
+    batch_reset,
+    broadcast_ctrl_state,
+    make_batch_continue_fn,
+)
+from simglucose_tpu.models.uva_padova import basal_rate
+from simglucose_tpu.ops.pallas_rollout import (
+    PallasRolloutConfig,
+    make_pallas_rollout,
+    pack_params,
+)
+
+B = 128  # one lane row per block for the interpret-mode tests
+
+
+def _packed(names):
+    cfg_env, params = make_env(names, batch=True, dtype=np.float32)
+    return params, pack_params(params.patient, basal_rate(params.patient))
+
+
+def test_deterministic_matches_env_exactly():
+    """No noise / no meals / no resets: the kernel must reproduce the XLA
+    env trace (same rk4 physics, PID controller, pump quantization)."""
+    names = cohort_names(B)
+    env_params, packed = _packed(names)
+
+    T = 8
+    pcfg = PallasRolloutConfig(
+        n_steps=T, block_rows=1, t_chunk=4, deterministic=True,
+        controller="pid",
+    )
+    run = make_pallas_rollout(pcfg, B, interpret=True)
+    traj_p = run(packed, 0)
+
+    # XLA path: same config — zero noise (exogenous zeros), no meals,
+    # no auto-reset, x0 init, PID on prev obs
+    cfg, params = make_env(
+        names,
+        batch=True,
+        dtype=np.float32,
+        scenario_mode="none",
+        noise_seq=np.zeros(T + 4, np.float32),
+        substeps=1,
+        method="rk4",
+    )
+    ctrl0, ctrl = pid_controller(cfg.sample_time, P=-1e-4, I=-1e-7)
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    state, res = batch_reset(cfg, params, keys, start_min=0)
+    cs = broadcast_ctrl_state(ctrl0, B)
+    run_env = make_batch_continue_fn(cfg, ctrl, T)
+    _, _, _, traj_e = run_env(params, state, cs, res)
+
+    np.testing.assert_allclose(
+        np.asarray(traj_p["BG"]), np.asarray(traj_e.BG), rtol=2e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(traj_p["CGM"]), np.asarray(traj_e.CGM), rtol=2e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(traj_p["insulin"]), np.asarray(traj_e.insulin), rtol=1e-6
+    )
+    # reward is a difference of two ~3.0 risks through log/pow — a few f32
+    # ulps of absolute noise (measured 1.6e-5 max)
+    np.testing.assert_allclose(
+        np.asarray(traj_p["reward"]),
+        np.asarray(traj_e.reward),
+        atol=1e-4,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(traj_p["CHO"]), np.asarray(traj_e.CHO)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(traj_p["done"]), np.asarray(traj_e.done)
+    )
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="TPU hardware PRNG has no CPU interpret-mode lowering",
+)
+def test_stochastic_law():
+    """Stochastic config: BG stays physiological, meals arrive at the daily
+    law's rate, CGM noise has the Johnson-SU scale, episodes reset."""
+    names = cohort_names(B)
+    _, packed = _packed(names)
+    T = 480  # one day
+    pcfg = PallasRolloutConfig(n_steps=T, block_rows=1, t_chunk=60)
+    run = make_pallas_rollout(pcfg, B, interpret=True)
+    traj = run(packed, 7)
+
+    bg = np.asarray(traj["BG"])
+    assert np.isfinite(bg).all()
+    assert 60 < bg.mean() < 250
+    # meals: ~3.9 meals/day/patient at the slot law, eaten at 5 g/min over
+    # sample_time-averaged steps -> total CHO grams/day/patient ~ 220 on avg
+    cho_per_day = np.asarray(traj["CHO"]).sum(axis=0) * pcfg.sample_time
+    assert 80 < cho_per_day.mean() < 400
+    # noise scale: CGM - BG has std in the Johnson-SU ballpark (a few mg/dL)
+    resid = np.asarray(traj["CGM"]) - bg
+    assert 1.0 < resid.std() < 40.0
+    # PID keeps most lanes alive but some resets happen over a day
+    assert np.asarray(traj["done"]).mean() < 0.2
