@@ -143,6 +143,23 @@ def _normal_pair(shape):
     return r * jnp.cos(th), r * jnp.sin(th)
 
 
+def _ndtri_central(p):
+    """Central branch of Acklam's inverse-normal-CDF rational — no sqrt/log.
+
+    Valid (|abs err| < 4e-8) for p in [0.0227, 0.9773] (the +/-2 sigma CDF
+    window); used for the truncnorm meal-time draws whose CDF ranges are
+    static per slot and known to fit (checked against scipy.ndtri)."""
+    a = (-3.969683028665376e01, 2.209460984245205e02, -2.759285104469687e02,
+         1.383577518672690e02, -3.066479806614716e01, 2.506628277459239e00)
+    b = (-5.447609879822406e01, 1.615858368580409e02, -1.556989798598866e02,
+         6.680131188771972e01, -1.328068155288572e01)
+    q = p - 0.5
+    r = q * q
+    num = ((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4]) * r + a[5]
+    den = (((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4]) * r) + 1.0
+    return num * q / den
+
+
 def _ndtri(p):
     """Inverse standard-normal CDF (Acklam's rational approximation,
     |rel err| < 1.15e-9 — far below the f32 ulp)."""
@@ -210,18 +227,29 @@ def _quantize(amount, inc, lo, hi):
 
 
 def _draw_meal_plan(cfg: PallasRolloutConfig, shape):
-    """One day's meal plan: (times[6 of shape], amounts[6 of shape])."""
+    """One day's meal plan: (times[6 of shape], amounts[6 of shape]).
+
+    This runs branchlessly EVERY env step (day rollovers are per-patient and
+    desynchronize, so at batch>=1K some lane rolls over almost every step),
+    so the draw is transcendental-lean: amount normals come from 3 Box-Muller
+    pairs and the truncnorm times use the rational-only central inverse-CDF
+    branch (their CDF windows are static +/-2 sigma; slot 5 spans +/-3 sigma
+    and keeps the full 3-branch inverse)."""
     times, amounts = [], []
+    amt_z = []
+    for _ in range(3):
+        z1, z2 = _normal_pair(shape)
+        amt_z += [z1, z2]
     for s in range(6):
         u_occ = _uniform(shape)
         u_t = _uniform(shape)
-        u_a = _uniform(shape)
         mu, sig = _TIME_MU[s], _TIME_SIGMA[s]
         a_cdf = 0.5 * (1.0 + math.erf((_TIME_LB[s] - mu) / sig / math.sqrt(2.0)))
         b_cdf = 0.5 * (1.0 + math.erf((_TIME_UB[s] - mu) / sig / math.sqrt(2.0)))
-        t = jnp.round(mu + sig * _ndtri(a_cdf + u_t * (b_cdf - a_cdf)))
+        inv = _ndtri if min(a_cdf, 1.0 - b_cdf) < 0.0227 else _ndtri_central
+        t = jnp.round(mu + sig * inv(a_cdf + u_t * (b_cdf - a_cdf)))
         amt = jnp.maximum(
-            jnp.round(_AMOUNT_MU[s] + _AMOUNT_SIGMA[s] * _ndtri(u_a)), 0.0
+            jnp.round(_AMOUNT_MU[s] + _AMOUNT_SIGMA[s] * amt_z[s]), 0.0
         )
         occurs = u_occ < _MEAL_PROB[s]
         times.append(jnp.where(occurs, t, -1.0))
@@ -274,12 +302,21 @@ def _reset_values(cfg: PallasRolloutConfig, x0, shape, with_plan: bool = True):
     consuming the existing plan is the same law at ~40% less per-step math).
     """
     xs = list(x0)
-    if cfg.random_init_bg and not cfg.deterministic:
-        z0, z1 = _normal_pair(shape)
-        z2, _ = _normal_pair(shape)
-        for idx, z in ((3, z0), (4, z1), (12, z2)):
-            mean = x0[idx]
-            xs[idx] = mean + jnp.sqrt(0.1 * mean) * z
+    # 6 normals (3 init-BG + 3 noise-lattice) from exactly 3 Box-Muller pairs
+    lat_z = None
+    if not cfg.deterministic:
+        if cfg.random_init_bg:
+            za, zb = _normal_pair(shape)
+            zc, zd = _normal_pair(shape)
+            ze, zf = _normal_pair(shape)
+            for idx, z in ((3, za), (4, zb), (12, zc)):
+                mean = x0[idx]
+                xs[idx] = mean + jnp.sqrt(0.1 * mean) * z
+            lat_z = (zd, ze, zf)
+        else:
+            za, zb = _normal_pair(shape)
+            zc, _ = _normal_pair(shape)
+            lat_z = (za, zb, zc)
     zero = jnp.zeros(shape, jnp.float32)
     f = {
         "xs": tuple(xs),
@@ -297,18 +334,12 @@ def _reset_values(cfg: PallasRolloutConfig, x0, shape, with_plan: bool = True):
         f["e"] = zero
         f["lat"] = (zero, zero, zero, zero)
     else:
-        z0, z1 = _normal_pair(shape)
-        z2, _ = _normal_pair(shape)
-        e0 = z0
-        e1 = cfg.pacf * (e0 + z1)
-        e2 = cfg.pacf * (e1 + z2)
+        e0 = lat_z[0]
+        e1 = cfg.pacf * (e0 + lat_z[1])
+        e2 = cfg.pacf * (e1 + lat_z[2])
         f["e"] = e2
-        f["lat"] = (
-            _johnson(cfg, e0),
-            _johnson(cfg, e0),
-            _johnson(cfg, e1),
-            _johnson(cfg, e2),
-        )
+        j0 = _johnson(cfg, e0)
+        f["lat"] = (j0, j0, _johnson(cfg, e1), _johnson(cfg, e2))
     # scenario plan for day 0
     if cfg.deterministic:
         f["meal_t"] = [jnp.full(shape, -1.0)] * 6
@@ -355,9 +386,10 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
             if cfg.deterministic:
                 cgm0 = jnp.clip(bg0, cfg.cgm_min, cfg.cgm_max)
             else:
-                u = jnp.float32(st) / MDL_SAMPLE_TIME
-                noise0 = _catmull(*fvals["lat"], u * 0.0)  # tau=0 -> lat[1]
-                cgm0 = jnp.clip(bg0 + noise0, cfg.cgm_min, cfg.cgm_max)
+                # Catmull-Rom at tau=0 is exactly lat[1]
+                cgm0 = jnp.clip(
+                    bg0 + fvals["lat"][1], cfg.cgm_min, cfg.cgm_max
+                )
             fs[18] = cgm0
             fs[19] = fvals["e"]
             for i in range(4):
@@ -526,9 +558,8 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
             if not cfg.deterministic:
                 r = _reset_values(cfg, x0, shape, with_plan=False)
                 bg0 = r["xs"][12] / p.Vg
-                u0 = jnp.float32(0.0)
-                noise0 = _catmull(*r["lat"], u0)
-                cgm0 = jnp.clip(bg0 + noise0, cfg.cgm_min, cfg.cgm_max)
+                # Catmull-Rom at tau=0 is exactly lat[1]
+                cgm0 = jnp.clip(bg0 + r["lat"][1], cfg.cgm_min, cfg.cgm_max)
                 keep = 1.0 - donef
 
                 def mix(old, new):
