@@ -1,21 +1,28 @@
 #!/usr/bin/env python
 """Headline benchmark: env-steps/s on one chip at a 4096-patient batch.
 
-Config 3 of BASELINE.json: 4096 vmapped auto-resetting patients with native
-CGM noise, random meal scenarios, risk-diff reward, PID controller, on the
+Config 3 of BASELINE.json: 4096 auto-resetting patients with native CGM
+noise, random meal scenarios, risk-diff reward, PID controller, on the
 default backend (TPU when available).  One env step = sample_time (3)
 patient-minutes: pump quantization, scenario lookup, RK4 ODE integration,
 CGM sampling, risk/reward/termination.
 
+The headline path is the pallas in-VMEM rollout kernel
+(simglucose_tpu/ops/pallas_rollout.py): the entire closed-loop simulator as
+one TPU kernel, state resident in VMEM for the whole rollout.  Its
+deterministic config matches the XLA env path exactly and its stochastic
+config is distribution-validated against it (tests/test_pallas_rollout.py,
+BASELINE.md).  If the pallas path is unavailable (e.g. non-TPU backend),
+falls back to the general XLA scan path — same simulator semantics.
+
 Measurement notes: over the remote-TPU (axon) tunnel, jax's
 block_until_ready returns before execution completes, so the timed region
-chains n_calls donated rollouts and ends with a HARD host fetch of a result
-scalar — the fetch cannot complete until every chained execution has.  The
-~45 ms tunnel fetch latency is amortized over n_calls * T steps (<0.1%).
+chains n_calls rollouts and ends with a HARD host fetch of a result
+scalar — the fetch cannot complete until every chained execution has.
 
 Prints ONE JSON line:
   {"metric": "env_steps_per_sec", "value": N, "unit": "steps/s",
-   "vs_baseline": N/1e6}
+   "vs_baseline": N/1e6, "path": "pallas"|"xla"}
 vs_baseline is against the 1M env-steps/s/host north star (BASELINE.md).
 """
 import json
@@ -27,8 +34,46 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/simglucose_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+B = 4096
 
-def main():
+
+def bench_pallas():
+    """Fast path: full closed-loop simulator as one in-VMEM pallas kernel."""
+    from simglucose_tpu.envs.build import cohort_names, make_env
+    from simglucose_tpu.models.uva_padova import basal_rate
+    from simglucose_tpu.ops.pallas_rollout import (
+        PallasRolloutConfig,
+        make_pallas_rollout,
+        pack_params,
+    )
+
+    T = 4096
+    n_calls = 24
+
+    _, params = make_env(cohort_names(B), batch=True, dtype=np.float32)
+    packed = jax.device_put(
+        pack_params(params.patient, basal_rate(params.patient))
+    )
+    pcfg = PallasRolloutConfig(
+        n_steps=T, block_rows=32, t_chunk=32, controller="pid"
+    )
+    run = jax.jit(make_pallas_rollout(pcfg, B))
+
+    traj = run(packed, 0)
+    _ = float(np.asarray(traj["reward"][-1])[0])  # drain pipeline
+
+    tic = time.perf_counter()
+    for i in range(n_calls):
+        traj = run(packed, i + 1)
+    final = np.asarray(traj["reward"][-1])  # hard fetch == true barrier
+    toc = time.perf_counter()
+
+    assert np.isfinite(final).all()
+    return B * T * n_calls / (toc - tic)
+
+
+def bench_xla():
+    """General path: jit(vmap(scan(env_step))) rollout engine."""
     from simglucose_tpu.controllers.functional import pid_controller
     from simglucose_tpu.envs.build import cohort_names, make_env
     from simglucose_tpu.envs.rollout import (
@@ -37,7 +82,6 @@ def main():
         make_batch_rollout_fn,
     )
 
-    B = 4096
     T = 256
     n_calls = 8
 
@@ -51,7 +95,6 @@ def main():
 
     run = make_batch_rollout_fn(cfg, ctrl, n_steps=T, donate=True)
 
-    # warmup / compile; the scalar fetch forces a full pipeline drain
     state, last, traj = run(params, state, ctrl_state, reset_res)
     _ = float(np.asarray(traj.reward[-1])[0])
 
@@ -62,8 +105,16 @@ def main():
     toc = time.perf_counter()
 
     assert np.isfinite(final).all()
-    steps = B * T * n_calls
-    sps = steps / (toc - tic)
+    return B * T * n_calls / (toc - tic)
+
+
+def main():
+    path = "pallas"
+    try:
+        sps = bench_pallas()
+    except Exception:  # non-TPU backend, Mosaic unavailable, ...
+        path = "xla"
+        sps = bench_xla()
     print(
         json.dumps(
             {
@@ -71,6 +122,7 @@ def main():
                 "value": round(sps),
                 "unit": "steps/s",
                 "vs_baseline": round(sps / 1e6, 3),
+                "path": path,
             }
         )
     )
