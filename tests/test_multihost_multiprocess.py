@@ -1,0 +1,154 @@
+"""REAL multi-process multi-host validation: two OS processes, each with 4
+virtual CPU devices, form one global 8-device dp mesh via jax.distributed
+(gloo collectives).  Each process runs the sharded cohort rollout, writes
+its OWN host-local shard of the patient batch to per-patient CSVs (the
+analog of the reference's per-worker writes, sim_engine.py:44-49), and the
+combined results must equal the single-process rollout exactly — the
+TPU-native version of the reference's parallel==serial contract
+(tests/test_sim_engine.py:24-86).
+"""
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = textwrap.dedent(
+    """
+    import os, sys
+    pid, nproc, port, outdir = (
+        int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+    )
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    from simglucose_tpu.parallel.multihost import initialize
+    initialize(f"127.0.0.1:{port}", num_processes=nproc, process_id=pid)
+    assert jax.process_count() == nproc and jax.device_count() == 8
+
+    import jax.numpy as jnp
+    import numpy as np
+    from datetime import datetime
+    from simglucose_tpu.controllers.functional import pid_controller
+    from simglucose_tpu.envs.build import cohort_names, make_env
+    from simglucose_tpu.envs.rollout import (
+        batch_reset, broadcast_ctrl_state, make_batch_rollout_fn,
+    )
+    from simglucose_tpu.parallel.multihost import (
+        local_batch_slice, local_shard, save_local_results,
+    )
+    from simglucose_tpu.parallel.sharding import make_mesh, shard_batch
+
+    B, T = 16, 4
+    names = cohort_names(B)
+    cfg, params = make_env(names, batch=True, dtype=np.float32)
+    ctrl0, ctrl = pid_controller(cfg.sample_time, P=-1e-4, I=-1e-7)
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+
+    mesh = make_mesh(dp=8, tp=1)
+    params_s = shard_batch(params, mesh)
+    keys_s = shard_batch(keys, mesh)
+    state, res = jax.jit(lambda p, k: batch_reset(cfg, p, k))(params_s, keys_s)
+    cs = shard_batch(broadcast_ctrl_state(ctrl0, B), mesh)
+    run = make_batch_rollout_fn(cfg, ctrl, n_steps=T, donate=False)
+    _, _, traj = run(params_s, state, cs, res)
+
+    # global metric reduction across the whole mesh (crosses both processes)
+    gmean = float(jax.jit(lambda t: jnp.mean(t.CGM))(traj))
+
+    # per-host result IO: this host's 8 patients only
+    df = save_local_results(
+        (res, traj), names, datetime(2018, 1, 1), cfg.sample_time, outdir
+    )
+    sl = local_batch_slice(B)
+    local_bg = local_shard(traj).BG  # [T, B/2]
+    np.savez(
+        os.path.join(outdir, f"proc{pid}.npz"),
+        BG=np.asarray(local_bg), lo=sl.start, hi=sl.stop, gmean=gmean,
+    )
+    print(f"proc {pid} OK", flush=True)
+    """
+)
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_sharded_rollout_matches_single_process(tmp_path):
+    port = _free_port()
+    worker = tmp_path / "worker.py"
+    worker.write_text(WORKER)
+    outdir = tmp_path / "results"
+    outdir.mkdir()
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), "2", str(port), str(outdir)],
+            env=env,
+            cwd=REPO,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+
+    # every host wrote its own shard: 16 per-patient CSVs total
+    from simglucose_tpu.envs.build import cohort_names
+
+    names = cohort_names(16)
+    csvs = {f.name for f in outdir.iterdir() if f.suffix == ".csv"}
+    assert csvs == {f"{n}.csv" for n in names}
+
+    # single-process reference rollout (this pytest process: 8 virtual devs)
+    import jax
+
+    from simglucose_tpu.controllers.functional import pid_controller
+    from simglucose_tpu.envs.build import make_env
+    from simglucose_tpu.envs.rollout import (
+        batch_reset,
+        broadcast_ctrl_state,
+        make_batch_rollout_fn,
+    )
+
+    B, T = 16, 4
+    cfg, params = make_env(names, batch=True, dtype=np.float32)
+    ctrl0, ctrl = pid_controller(cfg.sample_time, P=-1e-4, I=-1e-7)
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    state, res = batch_reset(cfg, params, keys)
+    cs = broadcast_ctrl_state(ctrl0, B)
+    run = make_batch_rollout_fn(cfg, ctrl, n_steps=T, donate=False)
+    _, _, traj = run(params, state, cs, res)
+    ref_bg = np.asarray(traj.BG)
+
+    # the two hosts' shards reassemble the exact single-process trace
+    got = np.full_like(ref_bg, np.nan)
+    gmeans = []
+    for i in range(2):
+        z = np.load(outdir / f"proc{i}.npz")
+        got[:, int(z["lo"]) : int(z["hi"])] = z["BG"]
+        gmeans.append(float(z["gmean"]))
+    np.testing.assert_array_equal(got, ref_bg)
+    # the cross-process global reduction agrees between hosts and with ref
+    assert gmeans[0] == gmeans[1]
+    np.testing.assert_allclose(
+        gmeans[0], float(np.asarray(traj.CGM).mean()), rtol=1e-6
+    )
