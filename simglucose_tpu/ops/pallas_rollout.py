@@ -17,7 +17,8 @@ the reference's batch_sim use case, sim_engine.py:65-76):
   * native random daily meal scenario law (same distributions as
     scenario/meal.py, reference scenario_gen.py:33-60)
   * gym-style auto-reset with random start hour + random initial BG
-  * built-in controller: PID (gains as static floats) or constant basal
+  * built-in controllers: PID (gains as static floats), basal-bolus therapy
+    (per-patient Quest CR/CF planes), or constant basal
   * reward = risk_diff (reference env.py:27-33)
 
 For custom controllers/rewards/sensors use the XLA path; both paths share
@@ -52,10 +53,10 @@ _AMOUNT_MU = (45.0, 10.0, 70.0, 10.0, 80.0, 10.0)
 _AMOUNT_SIGMA = (10.0, 5.0, 10.0, 5.0, 10.0, 5.0)
 
 # Order of the packed per-patient parameter planes fed to the kernel:
-# the 34 non-x0 PatientParams fields, then x0_1..x0_13, then (basal,) —
-# see pack_params().
+# the 34 non-x0 PatientParams fields, then x0_1..x0_13, then
+# (basal, CR, CF) — see pack_params().
 _PARAM_FIELDS = [f for f in PatientParams._fields if f != "x0"]
-NP_PLANES = len(_PARAM_FIELDS) + 13 + 1
+NP_PLANES = len(_PARAM_FIELDS) + 13 + 3
 
 
 @dataclasses.dataclass(frozen=True)
@@ -79,27 +80,64 @@ class PallasRolloutConfig:
     inc_bolus: float = 0.05
     min_bolus: float = 0.0
     max_bolus: float = 30.0
-    # controller: 'pid' | 'const'
+    # controller: 'pid' | 'bb' | 'const'
     controller: str = "pid"
     pid_p: float = -1e-4
     pid_i: float = -1e-7
     pid_d: float = 0.0
     pid_target: float = 140.0
+    bb_target: float = 140.0  # basal_bolus_ctrller.py:28 (default target)
     const_basal: float = 0.0
     # env
     bg_done_low: float = 70.0
     bg_done_high: float = 350.0
     random_init_bg: bool = True
-    # deterministic=True: no noise, no meals, no resets, x0 init — the
-    # exact-parity-vs-env_step test configuration
+    # deterministic=True: no noise, no random meals, no resets, x0 init —
+    # the exact-parity-vs-env_step test configuration.  det_meal_* give an
+    # optional STATIC meal schedule (absolute episode minutes -> grams,
+    # identical for every lane), the kernel analog of the env path's
+    # exogenous meal_seq / the reference CustomScenario
+    # (simulation/scenario.py:21-45) — exercises the eating state machine
+    # and the BB bolus path under exact parity.
     deterministic: bool = False
+    det_meal_times: tuple = ()
+    det_meal_amounts: tuple = ()
 
 
-def pack_params(params: PatientParams, basal: jnp.ndarray) -> jnp.ndarray:
-    """PatientParams [B] -> packed [NP_PLANES, rows, 128] planes."""
+def config_for_sensor(sensor: str = "Dexcom", **overrides) -> "PallasRolloutConfig":
+    """PallasRolloutConfig with the named sensor's parameter row (sample
+    time, AR(1)/Johnson-SU noise constants, clamp range) filled in from the
+    params table (params/sensor_params.csv — Dexcom/GuardianRT/Navigator)."""
+    from simglucose_tpu.params import sensor_record
+
+    rec = sensor_record(sensor)
+    fields = dict(
+        sample_time=int(rec["sample_time"]),
+        pacf=float(rec["PACF"]),
+        gamma=float(rec["gamma"]),
+        lam=float(rec["lambda"]),
+        delta=float(rec["delta"]),
+        xi=float(rec["xi"]),
+        cgm_min=float(rec["min"]),
+        cgm_max=float(rec["max"]),
+    )
+    fields.update(overrides)
+    return PallasRolloutConfig(**fields)
+
+
+def pack_params(
+    params: PatientParams, basal: jnp.ndarray, quest=None
+) -> jnp.ndarray:
+    """PatientParams [B] -> packed [NP_PLANES, rows, 128] planes.
+
+    ``quest`` (any object with per-patient ``.CR``/``.CF`` arrays, e.g.
+    :class:`simglucose_tpu.core.types.QuestParams`) is required for the
+    ``controller='bb'`` kernel config; PID/const ignore those planes."""
     cols = [getattr(params, f) for f in _PARAM_FIELDS]
     cols += [params.x0[:, i] for i in range(13)]
+    ones = jnp.ones_like(jnp.asarray(basal, jnp.float32))
     cols += [basal]
+    cols += [quest.CR, quest.CF] if quest is not None else [ones, ones]
     flat = jnp.stack([jnp.asarray(c, jnp.float32) for c in cols])  # [NP, B]
     B = flat.shape[1]
     if B % LANES:
@@ -109,14 +147,16 @@ def pack_params(params: PatientParams, basal: jnp.ndarray) -> jnp.ndarray:
 
 def _unpack_params(pref, rs: slice) -> tuple:
     """Packed planes ref -> (PatientParams-like namespace of [R,128], x0 tuple,
-    basal)."""
+    (basal, CR, CF))."""
     vals = {f: pref[i, rs] for i, f in enumerate(_PARAM_FIELDS)}
     n = len(_PARAM_FIELDS)
     x0 = tuple(pref[n + i, rs] for i in range(13))
     basal = pref[n + 13, rs]
+    CR = pref[n + 14, rs]
+    CF = pref[n + 15, rs]
     # PatientParams requires x0; give it a dummy (kernel never uses .x0)
     p = PatientParams(x0=x0[0], **vals)
-    return p, x0, basal
+    return p, x0, (basal, CR, CF)
 
 
 # ---------------------------------------------------------------------------
@@ -287,7 +327,9 @@ def _risk_of(bg):
 #   13 planned_meal  14 last_CHO  15 is_eating  16 last_Qsto  17 foodtaken
 #   18 last_CGM      19 e         20..23 lattice
 #   24..29 meal_times 30..35 meal_amounts
-#   36 pid_integ     37 pid_prev  38 prev_CGM (for reward)  39 have_prev
+#   36 pid_integ     37 pid_prev  38 prev_CGM (for reward)
+#   39 prev_CHO (previous step's averaged CHO — the BB controller's meal
+#      announcement input, mirroring StepResult.CHO)
 NS_F = 40
 #   int planes: 0 t_min (episode minutes)  1 start_min  2 day  3 seg
 #   4 lattice_next  5 sample_count
@@ -370,7 +412,9 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
             # CPU interpret-mode parity test — never draws)
             pltpu.prng_seed(seed_ref[0] + b * jnp.int32(1000003) + t)
 
-        p, x0, basal_rate_u = _unpack_params(pref, slice(None))
+        p, x0, (basal_rate_u, quest_CR, quest_CF) = _unpack_params(
+            pref, slice(None)
+        )
 
         @pl.when(t == 0)
         def _init():
@@ -403,7 +447,7 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
             # risk(reset CGM) - risk(step CGM), matching env_reset's
             # window = [CGM_hist0] + first-step window_len == 2 (env.py:126,100)
             fs[38] = cgm0
-            fs[39] = jnp.zeros(shape, jnp.float32)  # (unused padding)
+            fs[39] = jnp.zeros(shape, jnp.float32)  # prev_CHO
             is_[0] = jnp.zeros(shape, jnp.int32)  # t_min
             is_[1] = fvals["start_min"]
             is_[2] = jnp.zeros(shape, jnp.int32)  # day
@@ -421,6 +465,7 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
         meal_a = [fs[30 + i] for i in range(6)]
         pid_integ, pid_prev = fs[36], fs[37]
         prev_cgm = fs[38]
+        prev_cho = fs[39]
         t_min = is_[0]
         start_min = is_[1]
         day = is_[2]
@@ -440,12 +485,31 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
                 )
                 pid_integ = pid_integ + (obs - cfg.pid_target) * st
                 pid_prev = obs
-                basal_cmd = control
+                insulin = _quantize(
+                    control, cfg.inc_basal, cfg.min_basal, cfg.max_basal
+                )
+            elif cfg.controller == "bb":
+                # basal-bolus therapy on the previous step's CGM + announced
+                # meal (controllers/functional.py bb_controller, reference
+                # basal_bolus_ctrller.py:34-80): bolus only when meal > 0
+                glucose = prev_cgm
+                meal_ann = prev_cho  # g/min averaged over the prev step
+                bolus_u = (meal_ann * st) / quest_CR + (
+                    glucose > 150.0
+                ).astype(jnp.float32) * (glucose - cfg.bb_target) / quest_CF
+                bolus_cmd = jnp.where(meal_ann > 0, bolus_u / st, 0.0)
+                insulin = _quantize(
+                    basal_rate_u, cfg.inc_basal, cfg.min_basal, cfg.max_basal
+                ) + _quantize(
+                    bolus_cmd, cfg.inc_bolus, cfg.min_bolus, cfg.max_bolus
+                )
             else:
-                basal_cmd = jnp.full(shape, cfg.const_basal, jnp.float32)
-            insulin = _quantize(
-                basal_cmd, cfg.inc_basal, cfg.min_basal, cfg.max_basal
-            )
+                insulin = _quantize(
+                    jnp.full(shape, cfg.const_basal, jnp.float32),
+                    cfg.inc_basal,
+                    cfg.min_basal,
+                    cfg.max_basal,
+                )
 
             # ---- scenario: candidate next-day plan + per-minute lookup ----
             if not cfg.deterministic:
@@ -466,8 +530,17 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
                 # meal for this minute (first-match lookup, scenario.py:37-42)
                 if cfg.deterministic:
                     meal = jnp.zeros(shape, jnp.float32)
+                    # static schedule: absolute episode minute -> grams (the
+                    # exogenous meal_seq / CustomScenario analog)
+                    for tt, aa in zip(
+                        cfg.det_meal_times, cfg.det_meal_amounts
+                    ):
+                        hit = (t_min == jnp.int32(tt)).astype(jnp.float32)
+                        meal = meal + hit * jnp.float32(aa)
                 else:
-                    mod = (start_min + t_min + m) % MINUTES_PER_DAY
+                    # t_min is incremented per minute below, so here it IS
+                    # the current absolute episode minute (do not add m)
+                    mod = (start_min + t_min) % MINUTES_PER_DAY
                     modf = mod.astype(jnp.float32)
                     meal = jnp.zeros(shape, jnp.float32)
                     taken = jnp.zeros(shape, jnp.float32)
@@ -535,7 +608,11 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
                 else:
                     cgm_m = last_CGM
 
-                CHO_acc = CHO_acc + to_eat / float(st)
+                # the reference records the ANNOUNCED scenario meal in the
+                # CHO history (env.py:54,60 records action.meal, not the
+                # EAT_RATE-limited eaten amount) — and the BB controller's
+                # meal input is that announced value
+                CHO_acc = CHO_acc + meal / float(st)
                 BG_acc = BG_acc + bg_m / float(st)
                 CGM_acc = CGM_acc + cgm_m / float(st)
 
@@ -553,6 +630,7 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
             ins_out[i_step] = insulin
 
             prev_cgm = CGM_acc
+            prev_cho = CHO_acc
 
             # ---- auto-reset (rollout.py autoreset_step semantics) ----
             if not cfg.deterministic:
@@ -578,6 +656,7 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
                 pid_integ = mix(pid_integ, r["pid_integ"])
                 pid_prev = mix(pid_prev, r["pid_prev"])
                 prev_cgm = mix(prev_cgm, cgm0)
+                prev_cho = keep * prev_cho  # fresh episode: no announced meal
                 keep_i = (1 - done).astype(jnp.int32)
                 done_i = done.astype(jnp.int32)
                 t_min = keep_i * t_min  # reset episode clock to 0
@@ -600,6 +679,7 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
             fs[30 + i] = meal_a[i]
         fs[36], fs[37] = pid_integ, pid_prev
         fs[38] = prev_cgm
+        fs[39] = prev_cho
         is_[0], is_[1], is_[2] = t_min, start_min, day
         is_[3], is_[4], is_[5] = seg, lat_next, n_samp
 

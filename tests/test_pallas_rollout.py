@@ -6,7 +6,11 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from simglucose_tpu.controllers.functional import pid_controller
+from simglucose_tpu.controllers.functional import (
+    bb_params,
+    bb_policy,
+    pid_controller,
+)
 from simglucose_tpu.envs.build import cohort_names, make_env
 from simglucose_tpu.envs.rollout import (
     batch_reset,
@@ -16,16 +20,20 @@ from simglucose_tpu.envs.rollout import (
 from simglucose_tpu.models.uva_padova import basal_rate
 from simglucose_tpu.ops.pallas_rollout import (
     PallasRolloutConfig,
+    config_for_sensor,
     make_pallas_rollout,
     pack_params,
 )
+from simglucose_tpu.params import load_quest_params
 
 B = 128  # one lane row per block for the interpret-mode tests
 
 
-def _packed(names):
+def _packed(names, quest=None):
     cfg_env, params = make_env(names, batch=True, dtype=np.float32)
-    return params, pack_params(params.patient, basal_rate(params.patient))
+    return params, pack_params(
+        params.patient, basal_rate(params.patient), quest=quest
+    )
 
 
 def test_deterministic_matches_env_exactly():
@@ -78,6 +86,111 @@ def test_deterministic_matches_env_exactly():
     )
     np.testing.assert_array_equal(
         np.asarray(traj_p["CHO"]), np.asarray(traj_e.CHO)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(traj_p["done"]), np.asarray(traj_e.done)
+    )
+
+
+def test_deterministic_bb_with_meals_matches_env_exactly():
+    """Static meal schedule + basal-bolus therapy: exercises the eating
+    state machine (EAT_RATE spreading, Dbar gastric branch) and the BB bolus
+    path (meal announcement from the previous step's CHO, Quest CR/CF,
+    G>150 correction) under exact kernel-vs-env parity."""
+    names = cohort_names(B)
+    quest = load_quest_params(names, dtype=np.float32)
+    env_params, packed = _packed(names, quest=quest)
+
+    T = 20
+    meal_times = (3, 10)  # absolute episode minutes
+    meal_amounts = (30.0, 25.0)  # grams (30 g -> 6 min of EAT_RATE eating)
+    pcfg = PallasRolloutConfig(
+        n_steps=T, block_rows=1, t_chunk=4, deterministic=True,
+        controller="bb",
+        det_meal_times=meal_times, det_meal_amounts=meal_amounts,
+    )
+    run = make_pallas_rollout(pcfg, B, interpret=True)
+    traj_p = run(packed, 0)
+
+    meal_seq = np.zeros(T * 3 + 1, np.float32)
+    for t, a in zip(meal_times, meal_amounts):
+        meal_seq[t] = a
+    cfg, params = make_env(
+        names,
+        batch=True,
+        dtype=np.float32,
+        scenario_mode="exogenous",
+        meal_seq=meal_seq,
+        noise_seq=np.zeros(T + 4, np.float32),
+        substeps=1,
+        method="rk4",
+    )
+    ctrl = bb_policy(cfg.sample_time)
+    cs = bb_params(params.patient, quest)  # [B] BBParams as vmapped state
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    state, res = batch_reset(cfg, params, keys, start_min=0)
+    run_env = make_batch_continue_fn(cfg, ctrl, T)
+    _, _, _, traj_e = run_env(params, state, cs, res)
+
+    assert np.asarray(traj_p["CHO"]).max() > 0, "meals must fire"
+    assert np.asarray(traj_p["insulin"]).max() > np.asarray(
+        traj_p["insulin"]
+    ).min(), "bolus must fire"
+    np.testing.assert_array_equal(
+        np.asarray(traj_p["CHO"]), np.asarray(traj_e.CHO)
+    )
+    np.testing.assert_allclose(
+        np.asarray(traj_p["insulin"]), np.asarray(traj_e.insulin), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(traj_p["BG"]), np.asarray(traj_e.BG), rtol=2e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(traj_p["CGM"]), np.asarray(traj_e.CGM), rtol=2e-6
+    )
+
+
+@pytest.mark.parametrize(
+    "sensor", ["Navigator", "GuardianRT"]  # sample_time 1 and 5
+)
+def test_deterministic_other_sensors_match_env(sensor):
+    """The kernel's sample_time is a static config knob — GuardianRT (5 min)
+    and Navigator (1 min) change the unrolled minute loop and the
+    reward/step cadence; both must still match the env path exactly."""
+    names = cohort_names(B)
+    env_params, packed = _packed(names)
+
+    T = 6
+    pcfg = config_for_sensor(
+        sensor, n_steps=T, block_rows=1, t_chunk=3, deterministic=True,
+        controller="pid",
+    )
+    run = make_pallas_rollout(pcfg, B, interpret=True)
+    traj_p = run(packed, 0)
+
+    cfg, params = make_env(
+        names,
+        sensor=sensor,
+        batch=True,
+        dtype=np.float32,
+        scenario_mode="none",
+        noise_seq=np.zeros(T + 4, np.float32),
+        substeps=1,
+        method="rk4",
+    )
+    assert cfg.sample_time == pcfg.sample_time
+    ctrl0, ctrl = pid_controller(cfg.sample_time, P=-1e-4, I=-1e-7)
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    state, res = batch_reset(cfg, params, keys, start_min=0)
+    cs = broadcast_ctrl_state(ctrl0, B)
+    run_env = make_batch_continue_fn(cfg, ctrl, T)
+    _, _, _, traj_e = run_env(params, state, cs, res)
+
+    np.testing.assert_allclose(
+        np.asarray(traj_p["BG"]), np.asarray(traj_e.BG), rtol=2e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(traj_p["insulin"]), np.asarray(traj_e.insulin), rtol=1e-6
     )
     np.testing.assert_array_equal(
         np.asarray(traj_p["done"]), np.asarray(traj_e.done)
