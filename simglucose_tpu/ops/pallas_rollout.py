@@ -92,6 +92,13 @@ class PallasRolloutConfig:
     bg_done_low: float = 70.0
     bg_done_high: float = 350.0
     random_init_bg: bool = True
+    # autoreset=False: run fixed-horizon through BG excursions (the
+    # reference's SimObj/batch_sim semantics — sim_engine.py:29-39 never
+    # resets); done is still reported.
+    autoreset: bool = True
+    # >= 0: every lane starts at this minute-of-day (simulate()'s fixed
+    # start_time); < 0: per-lane random start hour (gym semantics)
+    fixed_start_min: int = -1
     # deterministic=True: no noise, no random meals, no resets, x0 init —
     # the exact-parity-vs-env_step test configuration.  det_meal_* give an
     # optional STATIC meal schedule (absolute episode minutes -> grams,
@@ -391,8 +398,11 @@ def _reset_values(cfg: PallasRolloutConfig, x0, shape, with_plan: bool = True):
         if with_plan:
             mt, ma = _draw_meal_plan(cfg, shape)
             f["meal_t"], f["meal_a"] = mt, ma
-        hour = jnp.floor(_uniform(shape) * 24.0).astype(jnp.int32)
-        f["start_min"] = hour * 60
+        if cfg.fixed_start_min >= 0:
+            f["start_min"] = jnp.full(shape, cfg.fixed_start_min, jnp.int32)
+        else:
+            hour = jnp.floor(_uniform(shape) * 24.0).astype(jnp.int32)
+            f["start_min"] = hour * 60
     return f
 
 
@@ -404,7 +414,7 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
     n_tchunks = cfg.n_steps // TC
 
     def kernel(seed_ref, pref, cgm_out, bg_out, rew_out, done_out,
-               cho_out, ins_out, fs, is_):
+               cho_out, ins_out, rst_out, fs, is_):
         b = pl.program_id(0)
         t = pl.program_id(1)
         if not cfg.deterministic:
@@ -435,6 +445,9 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
                     bg0 + fvals["lat"][1], cfg.cgm_min, cfg.cgm_max
                 )
             fs[18] = cgm0
+            # reset observation (the frame's row 0, reference env.py:119-134)
+            rst_out[0] = bg0
+            rst_out[1] = cgm0
             fs[19] = fvals["e"]
             for i in range(4):
                 fs[20 + i] = fvals["lat"][i]
@@ -633,7 +646,7 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
             prev_cho = CHO_acc
 
             # ---- auto-reset (rollout.py autoreset_step semantics) ----
-            if not cfg.deterministic:
+            if not cfg.deterministic and cfg.autoreset:
                 r = _reset_values(cfg, x0, shape, with_plan=False)
                 bg0 = r["xs"][12] / p.Vg
                 # Catmull-Rom at tau=0 is exactly lat[1]
@@ -709,6 +722,10 @@ def make_pallas_rollout(cfg: PallasRolloutConfig, batch: int, interpret: bool = 
     traj_spec = pl.BlockSpec(
         (TC, R, LANES), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM
     )
+    rst_field = jax.ShapeDtypeStruct((2, rows, LANES), jnp.float32)
+    rst_spec = pl.BlockSpec(
+        (2, R, LANES), lambda b, t: (0, b, 0), memory_space=pltpu.VMEM
+    )
 
     call = pl.pallas_call(
         kernel,
@@ -721,8 +738,8 @@ def make_pallas_rollout(cfg: PallasRolloutConfig, batch: int, interpret: bool = 
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_shape=[out_field] * 6,
-        out_specs=[traj_spec] * 6,
+        out_shape=[out_field] * 6 + [rst_field],
+        out_specs=[traj_spec] * 6 + [rst_spec],
         scratch_shapes=[
             pltpu.VMEM((NS_F, R, LANES), jnp.float32),
             pltpu.VMEM((NS_I, R, LANES), jnp.int32),
@@ -731,8 +748,8 @@ def make_pallas_rollout(cfg: PallasRolloutConfig, batch: int, interpret: bool = 
     )
 
     def run(packed_params: jnp.ndarray, seed) -> dict:
-        seed_arr = jnp.asarray([seed], jnp.int32).reshape(1)
-        cgm, bg, rew, done, cho, ins = call(seed_arr, packed_params)
+        seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+        cgm, bg, rew, done, cho, ins, rst = call(seed_arr, packed_params)
         unb = lambda a: a.reshape(cfg.n_steps, batch)
         return {
             "CGM": unb(cgm),
@@ -741,6 +758,61 @@ def make_pallas_rollout(cfg: PallasRolloutConfig, batch: int, interpret: bool = 
             "done": unb(done) > 0.5,
             "CHO": unb(cho),
             "insulin": unb(ins),
+            "BG0": rst[0].reshape(batch),
+            "CGM0": rst[1].reshape(batch),
         }
+
+    return run
+
+
+def make_sharded_pallas_rollout(
+    cfg: PallasRolloutConfig,
+    batch: int,
+    mesh,
+    axis: str = "dp",
+    interpret: bool = False,
+):
+    """Multi-chip fast path: the in-VMEM kernel under ``shard_map`` over a
+    device mesh axis — each device runs its shard of the patient batch with
+    zero inter-chip communication during the rollout (the workload is
+    embarrassingly parallel over patients, like the reference's process
+    pool, sim_engine.py:65-76).  Per-device RNG streams are decorrelated by
+    folding the mesh position into the seed.
+
+    ``batch`` is GLOBAL; it must split evenly into per-device batches that
+    satisfy the single-device kernel's tiling constraints.  Returns
+    ``run(packed_params, seed) -> traj dict`` of global-batch arrays
+    ([n_steps, batch] trajectories, [batch] reset samples).
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = mesh.shape[axis]
+    if batch % n_dev:
+        raise ValueError(f"global batch {batch} not divisible by {n_dev}")
+    per = batch // n_dev
+    inner = make_pallas_rollout(cfg, per, interpret=interpret)
+
+    def device_fn(packed, seed):
+        dseed = seed.reshape(()) + jax.lax.axis_index(axis) * jnp.int32(7919)
+        return inner(packed, dseed)
+
+    traj_spec = {
+        k: P(None, axis)
+        for k in ("CGM", "BG", "reward", "done", "CHO", "insulin")
+    }
+    traj_spec["BG0"] = P(axis)
+    traj_spec["CGM0"] = P(axis)
+
+    sharded = shard_map(
+        device_fn,
+        mesh=mesh,
+        in_specs=(P(None, axis, None), P()),
+        out_specs=traj_spec,
+        check_vma=False,
+    )
+
+    def run(packed_params: jnp.ndarray, seed) -> dict:
+        return sharded(packed_params, jnp.asarray(seed, jnp.int32).reshape(1))
 
     return run

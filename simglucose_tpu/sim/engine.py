@@ -17,7 +17,7 @@ import logging
 import os
 import time
 from datetime import datetime, timedelta
-from typing import Callable, Optional, Sequence, Union
+from typing import Callable, NamedTuple, Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
@@ -37,6 +37,18 @@ from simglucose_tpu.envs.gym_env import MealSpec, parse_meal_times
 from simglucose_tpu.envs.rollout import rollout_batch
 
 logger = logging.getLogger(__name__)
+
+
+class _FrameFields(NamedTuple):
+    """The pytree shape trajectory_frame/cohort_frame consume."""
+
+    BG: np.ndarray
+    CGM: np.ndarray
+    CHO: np.ndarray
+    insulin: np.ndarray
+    LBGI: np.ndarray
+    HBGI: np.ndarray
+    risk: np.ndarray
 
 
 def _resolve_controller(controller, cfg, env_params, patient_names, dtype):
@@ -63,6 +75,127 @@ def _resolve_controller(controller, cfg, env_params, patient_names, dtype):
     )
 
 
+def _pallas_eligible(
+    scenario, controller, animate, substeps, dtype, reward_fun
+) -> Optional[str]:
+    """None if the pallas single-kernel engine can run this config, else the
+    reason it can't."""
+    if scenario is not None and not (
+        isinstance(scenario, str) and scenario == "random"
+    ):
+        return "custom meal scenarios"
+    if animate:
+        return "animate=True (incremental host rendering)"
+    if substeps != 1:
+        return f"substeps={substeps} (kernel is rk4/substeps=1)"
+    if dtype != np.float32:
+        return f"dtype={np.dtype(dtype).name} (kernel is float32)"
+    if reward_fun is not risk_diff_reward:
+        return "a custom reward_fun"
+    if not (
+        controller is None
+        or (
+            isinstance(controller, str)
+            and controller.upper() in ("BB", "BASAL-BOLUS", "PID")
+        )
+    ):
+        return "a custom controller"
+    if jax.default_backend() != "tpu":
+        return f"backend {jax.default_backend()!r} (TPU hardware PRNG)"
+    return None
+
+
+def _simulate_pallas(
+    patient_names,
+    cgm_name,
+    insulin_pump_name,
+    controller,
+    n_steps,
+    start_min,
+    random_init_bg,
+    seed,
+    start_time,
+    sample_time_check=None,
+):
+    """Cohort simulation on the single-kernel in-VMEM pallas engine
+    (~40x the XLA scan path; see ops/pallas_rollout.py).  Fixed horizon, no
+    auto-reset — the reference batch_sim semantics (sim_engine.py:29-39)."""
+    from simglucose_tpu.analysis.risk import risk_scalar
+    from simglucose_tpu.models.uva_padova import basal_rate
+    from simglucose_tpu.ops.pallas_rollout import (
+        LANES,
+        config_for_sensor,
+        make_pallas_rollout,
+        pack_params,
+    )
+
+    B = len(patient_names)
+    # pad the cohort to the kernel's lane width (results sliced back)
+    padded = B if B % LANES == 0 else B + (LANES - B % LANES)
+    names_p = [patient_names[i % B] for i in range(padded)]
+    block_rows = max(
+        r for r in (32, 16, 8, 4, 2, 1) if (padded // LANES) % r == 0
+    )
+    t_chunk = max(c for c in (32, 16, 8, 6, 5, 4, 3, 2, 1) if n_steps % c == 0)
+
+    patient = tables.load_patient_params(names_p, dtype=np.float32)
+    quest = tables.load_quest_params(names_p, dtype=np.float32)
+    pump = tables.pump_record(insulin_pump_name)
+    ctrl_kind = (
+        "pid"
+        if (isinstance(controller, str) and controller.upper() == "PID")
+        else "bb"
+    )
+    cfg = config_for_sensor(
+        cgm_name,
+        n_steps=n_steps,
+        block_rows=block_rows,
+        t_chunk=t_chunk,
+        controller=ctrl_kind,
+        inc_basal=float(pump["inc_basal"]),
+        min_basal=float(pump["min_basal"]),
+        max_basal=float(pump["max_basal"]),
+        inc_bolus=float(pump["inc_bolus"]),
+        min_bolus=float(pump["min_bolus"]),
+        max_bolus=float(pump["max_bolus"]),
+        random_init_bg=random_init_bg,
+        autoreset=False,
+        fixed_start_min=start_min,
+    )
+    if sample_time_check is not None:
+        assert cfg.sample_time == sample_time_check
+    packed = pack_params(patient, basal_rate(patient), quest=quest)
+    traj = make_pallas_rollout(cfg, padded)(packed, seed)
+
+    # per-step risk columns (reference env.py:83-85) computed on device
+    LBGI, HBGI, RI = jax.jit(risk_scalar)(traj["BG"])
+    L0, H0, R0 = jax.jit(risk_scalar)(traj["BG0"])
+
+    host = lambda a: np.asarray(a)[..., :B]
+    zeros = np.zeros(B, np.float32)
+    traj_ns = _FrameFields(
+        BG=host(traj["BG"]),
+        CGM=host(traj["CGM"]),
+        CHO=host(traj["CHO"]),
+        insulin=host(traj["insulin"]),
+        LBGI=host(LBGI),
+        HBGI=host(HBGI),
+        risk=host(RI),
+    )
+    reset_ns = _FrameFields(
+        BG=host(traj["BG0"]),
+        CGM=host(traj["CGM0"]),
+        CHO=zeros,
+        insulin=zeros,
+        LBGI=host(L0),
+        HBGI=host(H0),
+        risk=host(R0),
+    )
+    return cohort_frame(
+        reset_ns, traj_ns, patient_names, start_time, cfg.sample_time
+    )
+
+
 def simulate(
     sim_time: timedelta = timedelta(days=1),
     scenario: Optional[Union[str, MealSpec]] = None,
@@ -80,6 +213,7 @@ def simulate(
     dtype=np.float32,
     substeps: int = 1,
     reward_fun: Callable = risk_diff_reward,
+    engine: str = "auto",
 ):
     """Run a closed-loop cohort simulation and return the results frame.
 
@@ -93,6 +227,13 @@ def simulate(
     'random' → same; a list of (time, grams) → CustomScenario for all
     patients (times are hours-since-start floats, timedeltas, or datetimes,
     reference: simulation/scenario.py:48-59).
+
+    ``engine``: 'xla' — the general ``jit(vmap(scan))`` path (any
+    controller/reward/scenario, bit-level seed reproducibility via threefry);
+    'pallas' — the single-kernel in-VMEM fast path (~1B env-steps/s/chip;
+    BB/PID, random scenarios, TPU only, law-level seed reproducibility via
+    the TPU hardware PRNG — raises ValueError if the config needs the
+    general path); 'auto' — pallas when eligible, else xla.
     """
     if patient_names is None:
         patient_names = tables.patient_names()
@@ -102,6 +243,48 @@ def simulate(
     B = len(patient_names)
     if start_time is None:
         start_time = datetime(2018, 1, 1, 0, 0, 0)
+
+    if engine not in ("auto", "xla", "pallas"):
+        raise ValueError(f"engine must be 'auto', 'xla', or 'pallas'; got {engine!r}")
+    blocker = _pallas_eligible(
+        scenario, controller, animate, substeps, dtype, reward_fun
+    )
+    if engine == "pallas" and blocker is not None:
+        raise ValueError(
+            f"engine='pallas' cannot run this config ({blocker}); "
+            "use engine='xla' or 'auto'"
+        )
+    # auto: the kernel wins big at cohort scale but pays a larger one-off
+    # compile; small cohorts stay on the XLA path unless explicitly asked
+    if engine == "auto" and B < 512:
+        blocker = blocker or f"auto heuristic: B={B} < 512"
+    if engine in ("pallas", "auto") and blocker is None:
+        n_steps_p = int(sim_time.total_seconds() // 60) // tables.sensor_sample_time(cgm_name)
+        seed = (0 if scenario_seed is None else int(scenario_seed)) * 1000003 + (
+            0 if cgm_seed is None else int(cgm_seed)
+        )
+        tic = time.time()
+        df = _simulate_pallas(
+            patient_names,
+            cgm_name,
+            insulin_pump_name,
+            controller,
+            n_steps_p,
+            (start_time.hour * 60 + start_time.minute) % 1440,
+            random_init_bg,
+            seed,
+            start_time,
+        )
+        logger.info(
+            "Simulation of %d patients x %s took %.3f s (pallas engine)",
+            B, sim_time, time.time() - tic,
+        )
+        if save_path is not None:
+            os.makedirs(save_path, exist_ok=True)
+            for name in patient_names:
+                df.loc[name].to_csv(os.path.join(save_path, f"{name}.csv"))
+            report(df, save_path=save_path)
+        return df
 
     custom_times = custom_amounts = None
     scenario_mode = "random"

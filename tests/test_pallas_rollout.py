@@ -22,6 +22,7 @@ from simglucose_tpu.ops.pallas_rollout import (
     PallasRolloutConfig,
     config_for_sensor,
     make_pallas_rollout,
+    make_sharded_pallas_rollout,
     pack_params,
 )
 from simglucose_tpu.params import load_quest_params
@@ -195,6 +196,42 @@ def test_deterministic_other_sensors_match_env(sensor):
     np.testing.assert_array_equal(
         np.asarray(traj_p["done"]), np.asarray(traj_e.done)
     )
+
+
+def test_sharded_kernel_matches_unsharded():
+    """The multi-chip fast path (shard_map over a dp mesh, one kernel per
+    device) must reproduce the single-device kernel exactly in the
+    deterministic config — patients are embarrassingly parallel, so sharding
+    cannot change any value."""
+    from simglucose_tpu.parallel.sharding import make_mesh, batch_sharding
+
+    B8 = 8 * 128  # one lane row per device on the 8-device CPU mesh
+    names = cohort_names(B8)
+    _, packed = _packed(names)
+
+    T = 4
+    pcfg = PallasRolloutConfig(
+        n_steps=T, block_rows=1, t_chunk=2, deterministic=True,
+        controller="pid",
+    )
+    ref = make_pallas_rollout(pcfg, B8, interpret=True)(packed, 0)
+
+    mesh = make_mesh(dp=8, tp=1)
+    packed_s = jax.device_put(
+        packed,
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(None, "dp")),
+    )
+    run = make_sharded_pallas_rollout(pcfg, B8, mesh, interpret=True)
+    got = run(packed_s, 0)
+
+    # interpret mode re-lowers the kernel body per shard, so XLA may fuse in
+    # a different order — bitwise on real hardware, f32-ulp here
+    for k in ("BG", "CGM", "insulin", "CHO", "BG0", "CGM0"):
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(ref[k]), rtol=1e-6, err_msg=k
+        )
+    # outputs carry the dp sharding (per-host IO can pull local shards)
+    assert len(got["BG"].sharding.device_set) == 8
 
 
 @pytest.mark.skipif(

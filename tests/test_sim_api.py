@@ -121,3 +121,53 @@ def test_interactive_ui_wizard(monkeypatch):
     with mock.patch("builtins.input", side_effect=lambda *a: next(answers)):
         df = ui_simulate()
     assert len(df.loc["adolescent#001"]) == 2 * 60 // 3 + 1
+
+
+def test_engine_param_validation():
+    """engine='pallas' needs the TPU hardware PRNG (these tests run on CPU)
+    and rejects configs only the general path supports; engine='auto' falls
+    back to the XLA path silently."""
+    import pytest
+
+    from simglucose_tpu.sim.engine import _pallas_eligible
+    from simglucose_tpu.analysis.risk import risk_diff_reward
+
+    with pytest.raises(ValueError, match="backend"):
+        simulate(
+            sim_time=timedelta(hours=1),
+            patient_names=["adolescent#001"],
+            controller="BB",
+            engine="pallas",
+        )
+    with pytest.raises(ValueError, match="engine"):
+        simulate(sim_time=timedelta(hours=1), engine="nope")
+
+    ok = lambda **kw: _pallas_eligible(
+        **{
+            "scenario": None,
+            "controller": "BB",
+            "animate": False,
+            "substeps": 1,
+            "dtype": np.float32,
+            "reward_fun": risk_diff_reward,
+            **kw,
+        }
+    )
+    assert "scenario" in ok(scenario=[(7.0, 45)])
+    assert "animate" in ok(animate=True)
+    assert "substeps" in ok(substeps=4)
+    assert "dtype" in ok(dtype=np.float64)
+    assert "reward" in ok(reward_fun=lambda w, n: 0.0)
+    assert "controller" in ok(controller=((), lambda s, r: None))
+    # everything else fine -> only the backend blocks on CPU
+    assert "backend" in ok()
+
+
+def test_engine_auto_small_cohort_uses_xla():
+    df = simulate(
+        sim_time=timedelta(hours=1),
+        patient_names=["adolescent#001"],
+        controller="PID",
+        engine="auto",
+    )
+    assert len(df.loc["adolescent#001"]) == 60 // 3 + 1
