@@ -56,6 +56,44 @@ from simglucose_tpu.scenario.meal import (
 RewardFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
 
 
+def wrap_reward_fn(reward_fun: Callable, window_size: int) -> RewardFn:
+    """Adapt a reference-style 1-arg reward over the BG-last-hour history to
+    the native ``(window, window_len)`` signature — with EXACT variable-length
+    semantics.
+
+    The reference passes ``CGM_hist[-window_size:]`` — a Python list that is
+    *shorter* than an hour at episode start (reference: simulation/env.py:
+    100-102), so a mean-based reward sees only the real samples.  Under jit
+    the window is a fixed-size ring buffer; slicing by the traced
+    ``window_len`` is impossible, so the wrapper builds one statically-shaped
+    branch per possible history length (``f(window[-L:])`` for L = 1..W) and
+    selects with ``lax.switch``.  Each branch traces ``reward_fun`` on a
+    static shape, so trace-time Python such as ``len(BG_last_hour) < 2``
+    works exactly as it does in the reference.
+
+    Native 2-arg fns pass through untouched.
+    """
+    import inspect
+
+    try:
+        n_params = len(inspect.signature(reward_fun).parameters)
+    except (TypeError, ValueError):
+        n_params = 2
+    if n_params >= 2:
+        return reward_fun
+    W = int(window_size)
+
+    def wrapped(window: jnp.ndarray, window_len: jnp.ndarray) -> jnp.ndarray:
+        branches = [
+            (lambda L: lambda: jnp.asarray(reward_fun(window[W - L:]), window.dtype))(L)
+            for L in range(1, W + 1)
+        ]
+        idx = jnp.clip(window_len, 1, W) - 1
+        return jax.lax.switch(idx, branches)
+
+    return wrapped
+
+
 @dataclasses.dataclass(frozen=True)
 class EnvConfig:
     """Static environment configuration — hashable; changing any field
@@ -94,6 +132,27 @@ class EnvParams(NamedTuple):
     custom_amounts: Optional[jnp.ndarray] = None  # [K] g
 
 
+def _noise_seq(cfg: EnvConfig, params: EnvParams) -> Optional[jnp.ndarray]:
+    """``cfg.noise_mode`` is authoritative — error on disagreement with the
+    params, never silently fall back to the other noise source."""
+    if cfg.noise_mode == "exogenous":
+        if params.noise_seq is None:
+            raise ValueError(
+                "noise_mode='exogenous' requires EnvParams.noise_seq "
+                "(host-pregenerated noise values, e.g. compat.reference_cgm_noise)"
+            )
+        return params.noise_seq
+    if cfg.noise_mode != "native":
+        raise ValueError(f"unknown noise_mode {cfg.noise_mode!r}")
+    if params.noise_seq is not None:
+        raise ValueError(
+            "noise_mode='native' but EnvParams.noise_seq is set — build the "
+            "config with noise_mode='exogenous' (make_env does this when "
+            "noise_seq is passed)"
+        )
+    return None
+
+
 def env_reset(
     cfg: EnvConfig,
     params: EnvParams,
@@ -124,11 +183,12 @@ def env_reset(
     LBGI, HBGI, risk = risk_scalar(BG0)
 
     # Two reset-time sensor samples, like the reference (env.py:126,142).
+    noise_seq = _noise_seq(cfg, params)
     sensor, CGM_hist0 = sensor_sample(
-        params.sensor, cfg.sample_time, sensor, BG0, params.noise_seq
+        params.sensor, cfg.sample_time, sensor, BG0, noise_seq
     )
     sensor, CGM_obs = sensor_sample(
-        params.sensor, cfg.sample_time, sensor, BG0, params.noise_seq
+        params.sensor, cfg.sample_time, sensor, BG0, noise_seq
     )
 
     W = cfg.window_size
@@ -193,6 +253,7 @@ def env_step(
 
     patient = state.patient
     sensor = state.sensor
+    noise_seq = _noise_seq(cfg, params)
     fst = float(st)
     CHO_avg = jnp.asarray(0.0, dtype)
     ins_avg = jnp.asarray(0.0, dtype)
@@ -211,7 +272,7 @@ def env_step(
         if i == st - 1:
             # patient clock hits a multiple of sample_time -> fresh sample
             sensor, CGM_i = sensor_sample(
-                params.sensor, st, sensor, BG_i, params.noise_seq
+                params.sensor, st, sensor, BG_i, noise_seq
             )
         else:
             CGM_i = sensor.last_CGM  # zero-order hold (cgm.py:35-36)

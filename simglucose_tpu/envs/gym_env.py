@@ -75,21 +75,17 @@ def parse_meal_times(
     return np.asarray(times, np.int32), np.asarray(amounts)
 
 
-def _wrap_reward(reward_fun):
+def _wrap_reward(reward_fun, window_size: int):
     """Accept native (window, window_len) reward fns or reference-style
     single-argument fns over the BG-last-hour array
-    (reference: simulation/env.py:100-102)."""
+    (reference: simulation/env.py:100-102).  1-arg fns get exact
+    variable-length history semantics via
+    :func:`simglucose_tpu.envs.functional.wrap_reward_fn`."""
     if reward_fun is None:
         return risk_diff_reward
-    import inspect
+    from simglucose_tpu.envs.functional import wrap_reward_fn
 
-    try:
-        n_params = len(inspect.signature(reward_fun).parameters)
-    except (TypeError, ValueError):
-        n_params = 2
-    if n_params >= 2:
-        return reward_fun
-    return lambda window, window_len: reward_fun(window)
+    return wrap_reward_fn(reward_fun, window_size)
 
 
 class T1DSimGymEnv(gymnasium.Env if gymnasium else object):
@@ -112,7 +108,7 @@ class T1DSimGymEnv(gymnasium.Env if gymnasium else object):
         sensor: Optional[str] = None,
         pump: Optional[str] = None,
         compat_mode: bool = False,
-        horizon_days: int = 30,
+        horizon_days: float = 30,
         substeps: Optional[int] = None,
         dtype=None,
         render_mode: Optional[str] = None,
@@ -124,10 +120,11 @@ class T1DSimGymEnv(gymnasium.Env if gymnasium else object):
         self.sensor_name = sensor or self.SENSOR_HARDWARE
         self.pump_name = pump or self.INSULIN_PUMP_HARDWARE
         self.compat_mode = compat_mode
-        self.horizon_minutes = int(horizon_days) * 1440
+        # fractional days allowed (e.g. horizon_days=0.5 -> 12 h episodes)
+        self.horizon_minutes = int(float(horizon_days) * 1440)
         self.render_mode = render_mode
         self._viewer = None
-        self._reward_fun = _wrap_reward(reward_fun)
+        self._raw_reward_fun = reward_fun
         if substeps is None:
             substeps = 4 if compat_mode else 1
         if dtype is None:
@@ -179,7 +176,7 @@ class T1DSimGymEnv(gymnasium.Env if gymnasium else object):
             random_init_bg=not self.compat_mode,
         )
 
-        reward = self._reward_fun
+        reward = _wrap_reward(self._raw_reward_fun, self.cfg.window_size)
         cfg = self.cfg
 
         self._jit_reset = jax.jit(
@@ -279,10 +276,12 @@ class T1DSimGymEnv(gymnasium.Env if gymnasium else object):
         self._last = res
         self._record(res)
         terminated = bool(res.done)
+        # horizon_days bounds every episode (native and compat mode alike;
+        # in compat mode it also bounds the pregenerated noise/meal arrays)
         truncated = bool(
             int(self._state.patient.t) + self.cfg.sample_time
             > self.horizon_minutes
-        ) if self.compat_mode else False
+        )
         return (
             self._obs(res),
             float(res.reward),
@@ -347,9 +346,12 @@ class T1DSimVectorEnv(gymnasium.vector.VectorEnv if gymnasium else object):
     in OS processes (reference: sim_engine.py:65-76 via pathos).
 
     Episodes auto-reset on termination with fresh random start hour and
-    initial BG (matching the single-env reset semantics); the terminal
-    observation is returned in the step it occurs, and the next step begins
-    the new episode.
+    initial BG (matching the single-env reset semantics).  Gymnasium
+    same-step autoreset convention: when env i terminates, ``step`` returns
+    the NEW episode's reset observation for env i (the reference wrapper
+    hands the agent the fresh episode's obs after done,
+    simglucose_gym_env.py:48-51) and carries the terminal step in
+    ``info["final_observation"][i]`` / ``info["final_info"][i]``.
     """
 
     metadata = {"render_modes": []}
@@ -375,7 +377,6 @@ class T1DSimVectorEnv(gymnasium.vector.VectorEnv if gymnasium else object):
             )
         self.num_envs = num_envs
         self.patient_names = list(patient_names)
-        reward = _wrap_reward(reward_fun)
         self.cfg, self._params = make_env(
             self.patient_names,
             sensor=sensor,
@@ -401,6 +402,7 @@ class T1DSimVectorEnv(gymnasium.vector.VectorEnv if gymnasium else object):
         )
 
         cfg = self.cfg
+        reward = _wrap_reward(reward_fun, cfg.window_size)
         self._jit_step = jax.jit(
             lambda params, state, action: jax.vmap(
                 lambda p, s, a: autoreset_step(cfg, p, s, a, reward_fun=reward)
@@ -422,20 +424,35 @@ class T1DSimVectorEnv(gymnasium.vector.VectorEnv if gymnasium else object):
             np.asarray(actions).reshape(self.num_envs), self._dtype
         )
         act = CtrlAction(basal=basal, bolus=jnp.zeros_like(basal))
-        self._state, res = self._jit_step(self._params, self._state, act)
-        obs = np.asarray(res.CGM, np.float32)[:, None]
+        self._state, res, carry = self._jit_step(self._params, self._state, act)
+        # carry = reset result for just-terminated envs, terminal otherwise
+        obs = np.asarray(carry.observation.CGM, np.float32)[:, None]
         done = np.asarray(res.done)
+        info = {
+            "bg": np.asarray(carry.BG),
+            "meal": np.asarray(carry.CHO),
+            "insulin": np.asarray(carry.insulin),
+            "risk": np.asarray(carry.risk),
+        }
+        if done.any():
+            final_obs = np.full(self.num_envs, None, dtype=object)
+            final_info = np.full(self.num_envs, None, dtype=object)
+            term_obs = np.asarray(res.observation.CGM, np.float32)
+            term_bg = np.asarray(res.BG)
+            term_risk = np.asarray(res.risk)
+            for i in np.nonzero(done)[0]:
+                final_obs[i] = np.asarray([term_obs[i]], np.float32)
+                final_info[i] = {"bg": term_bg[i], "risk": term_risk[i]}
+            info["final_observation"] = final_obs
+            info["_final_observation"] = done.copy()
+            info["final_info"] = final_info
+            info["_final_info"] = done.copy()
         return (
             obs,
             np.asarray(res.reward),
             done,
             np.zeros_like(done),
-            {
-                "bg": np.asarray(res.BG),
-                "meal": np.asarray(res.CHO),
-                "insulin": np.asarray(res.insulin),
-                "risk": np.asarray(res.risk),
-            },
+            info,
         )
 
     def close(self):

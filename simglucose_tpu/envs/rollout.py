@@ -114,33 +114,45 @@ def autoreset_step(
     state: EnvState,
     action,
     reward_fun=risk_diff_reward,
-) -> Tuple[EnvState, StepResult]:
+) -> Tuple[EnvState, StepResult, StepResult]:
     """One env step with gym-style auto-reset for a SINGLE env (vmap for a
     batch).
 
     When the step terminates, the env is re-initialized from a fresh key
     with a random start hour — the functional analog of the reference gym
     wrapper's brand-new-env-per-reset (simglucose_gym_env.py:48-51,66-67).
-    The terminal StepResult is returned (with done=True); the returned state
-    already belongs to the new episode.
+
+    Returns ``(state, res, carry_res)``:
+      * ``res``       — the terminal StepResult of the step that just ran
+                        (done=True and the terminal observation when the
+                        episode ended; Gymnasium's ``final_observation``);
+      * ``carry_res`` — what the NEXT policy invocation must see: equal to
+                        ``res`` for live envs, and the new episode's *reset*
+                        StepResult for terminated ones.  The reference gym
+                        wrapper hands the reset observation to the agent
+                        after done (simglucose_gym_env.py:48-51); feeding
+                        ``carry_res`` forward reproduces that — the first
+                        action of an episode is computed from the new
+                        episode's CGM, never the previous terminal one.
+    The returned ``state`` already belongs to the new episode where done.
     """
     state, res = env_step(cfg, params, state, action, reward_fun=reward_fun)
 
     new_key = jax.random.fold_in(state.key, state.patient.t)
     k_hour, k_reset = jax.random.split(new_key)
     hour = jax.random.randint(k_hour, (), 0, 24)
-    fresh, _ = env_reset(cfg, params, k_reset, start_min=hour * 60)
+    fresh, fresh_res = env_reset(cfg, params, k_reset, start_min=hour * 60)
 
-    reset_state = jax.tree.map(
-        lambda a, b: jnp.where(
+    def pick(a, b):
+        return jnp.where(
             jnp.reshape(res.done, res.done.shape + (1,) * (a.ndim - res.done.ndim)),
             a,
             b,
-        ),
-        fresh,
-        state,
-    )
-    return reset_state, res
+        )
+
+    reset_state = jax.tree.map(pick, fresh, state)
+    carry_res = jax.tree.map(pick, fresh_res, res)
+    return reset_state, res, carry_res
 
 
 def make_batch_rollout_fn(
@@ -163,8 +175,11 @@ def make_batch_rollout_fn(
         def body(carry, _):
             state, ctrl_state, prev = carry
             ctrl_state, action = jax.vmap(ctrl_fn)(ctrl_state, prev)
-            state, res = jax.vmap(step1)(params, state, action)
-            return (state, ctrl_state, res), res
+            state, res, carry_res = jax.vmap(step1)(params, state, action)
+            # the controller's next invocation sees the reset observation
+            # after a done (autoreset_step carry semantics); the trajectory
+            # records the terminal result.
+            return (state, ctrl_state, carry_res), res
 
         (state, ctrl_state, last), traj = jax.lax.scan(
             body, (state, ctrl_init, prev_res), None, length=n_steps

@@ -89,7 +89,7 @@ def _rollout(
             params, obs, k_act, max_basal=cfg.max_basal, mesh=mesh
         )
         action = CtrlAction(basal=basal, bolus=jnp.zeros_like(basal))
-        env_state, res = jax.vmap(partial(autoreset_step, env_cfg))(
+        env_state, res, carry_res = jax.vmap(partial(autoreset_step, env_cfg))(
             env_params, env_state, action
         )
         tr = Transition(
@@ -100,7 +100,10 @@ def _rollout(
             reward=res.reward,
             done=res.done,
         )
-        return (env_state, res, key), tr
+        # carry the post-reset observation forward: the first action of each
+        # new episode is computed from the new episode's CGM (reference
+        # semantics, simglucose_gym_env.py:48-51)
+        return (env_state, carry_res, key), tr
 
     (env_state, last_res, key), traj = jax.lax.scan(
         body, (env_state, prev_res, key), None, length=cfg.rollout_steps

@@ -52,26 +52,46 @@ class _FrameFields(NamedTuple):
 
 
 def _resolve_controller(controller, cfg, env_params, patient_names, dtype):
-    """Accept 'BB'/'PID', a (ctrl_init, ctrl_fn) pair, or a pair factory.
+    """Accept 'BB'/'PID' (optionally with kwargs), a (ctrl_init, ctrl_fn)
+    pair, or a pair factory.
+
+    PID gains are configurable per run — the reference exposes P/I/D on the
+    controller constructor (reference: controller/pid_ctrller.py:9-15):
+    pass ``('PID', dict(P=..., I=..., D=..., target=...))`` or
+    ``{'PID': {...}}``.  Likewise ``('BB', dict(target=...))``.
 
     Returns (ctrl_init, ctrl_fn, ctrl_in_axes)."""
+    kwargs = {}
+    if isinstance(controller, dict) and len(controller) == 1:
+        (name, kwargs), = controller.items()
+        controller = name
+    elif (
+        isinstance(controller, tuple)
+        and len(controller) == 2
+        and isinstance(controller[0], str)
+        and isinstance(controller[1], dict)
+    ):
+        controller, kwargs = controller
+    if not isinstance(kwargs, dict):
+        raise ValueError(f"controller kwargs must be a dict; got {kwargs!r}")
+
     if controller is None or (
         isinstance(controller, str) and controller.upper() in ("BB", "BASAL-BOLUS")
     ):
         quest = tables.load_quest_params(patient_names, dtype=dtype)
         bb = bb_params(env_params.patient, quest)
-        return bb, bb_policy(cfg.sample_time), 0
+        return bb, bb_policy(cfg.sample_time, **kwargs), 0
     if isinstance(controller, str) and controller.upper() == "PID":
-        init, fn = pid_controller(
-            cfg.sample_time, P=-1e-4, I=-1e-7, dtype=dtype
-        )
+        gains = dict(P=-1e-4, I=-1e-7, D=0.0)
+        gains.update(kwargs)
+        init, fn = pid_controller(cfg.sample_time, dtype=dtype, **gains)
         return init, fn, None
     if isinstance(controller, tuple) and len(controller) == 2:
         init, fn = controller
         return init, fn, None
     raise ValueError(
-        f"controller must be 'BB', 'PID', or an (init, policy) pair; "
-        f"got {controller!r}"
+        f"controller must be 'BB', 'PID' (optionally ('PID', kwargs) / "
+        f"{{'PID': kwargs}}), or an (init, policy) pair; got {controller!r}"
     )
 
 
@@ -214,6 +234,7 @@ def simulate(
     substeps: int = 1,
     reward_fun: Callable = risk_diff_reward,
     engine: str = "auto",
+    compat_mode: bool = False,
 ):
     """Run a closed-loop cohort simulation and return the results frame.
 
@@ -234,7 +255,29 @@ def simulate(
     BB/PID, random scenarios, TPU only, law-level seed reproducibility via
     the TPU hardware PRNG — raises ValueError if the config needs the
     general path); 'auto' — pallas when eligible, else xla.
+
+    ``compat_mode=True`` is the verification configuration: float64, rk45 at
+    4 substeps/min, and MT19937-bit-exact CGM noise + meal scenario shared
+    across the cohort exactly like the reference's simulate() (every patient
+    gets the same cgm_seed sensor and a deepcopy of the same scenario,
+    reference: simulation/user_interface.py:364-372).  Requires explicit
+    ``cgm_seed`` (and ``scenario_seed`` for random scenarios); forces the
+    XLA engine.  Output frames match a reference batch_sim run at the same
+    seeds (tests/test_cohort_golden.py).
     """
+    if compat_mode:
+        if engine == "pallas":
+            raise ValueError("compat_mode requires the XLA engine")
+        engine = "xla"
+        dtype = np.float64
+        substeps = 4
+        random_init_bg = False
+        if cgm_seed is None:
+            raise ValueError("compat_mode requires an explicit cgm_seed")
+        if scenario_seed is None and (scenario is None or isinstance(scenario, str)):
+            raise ValueError(
+                "compat_mode with a random scenario requires scenario_seed"
+            )
     if patient_names is None:
         patient_names = tables.patient_names()
     if isinstance(patient_names, str):
@@ -296,6 +339,27 @@ def simulate(
         )
         scenario_mode = "custom"
 
+    noise_seq = meal_seq = None
+    method = "rk4"
+    if compat_mode:
+        # MT19937-bit-exact pregeneration, shared across the cohort like the
+        # reference (same cgm_seed sensor + deepcopied scenario per patient,
+        # user_interface.py:364-372)
+        from simglucose_tpu.compat.noise import reference_cgm_noise
+        from simglucose_tpu.compat.scenario import reference_meal_seq
+
+        method = "rk45"
+        st = tables.sensor_sample_time(cgm_name)
+        n_min = int(sim_time.total_seconds() // 60)
+        noise_seq = reference_cgm_noise(
+            tables.sensor_record(cgm_name), int(cgm_seed), n_min // st + 4
+        )
+        if scenario_mode == "random":
+            meal_seq = reference_meal_seq(
+                int(scenario_seed), start_time, n_min + st
+            )
+            scenario_mode = "exogenous"
+
     cfg, env_params = make_env(
         patient_names,
         sensor=cgm_name,
@@ -303,6 +367,9 @@ def simulate(
         dtype=dtype,
         batch=True,
         substeps=substeps,
+        method=method,
+        noise_seq=noise_seq,
+        meal_seq=meal_seq,
         scenario_mode=scenario_mode,
         random_init_bg=random_init_bg,
     )
@@ -315,6 +382,10 @@ def simulate(
     ctrl_init, ctrl_fn, ctrl_axes = _resolve_controller(
         controller, cfg, env_params, patient_names, dtype
     )
+    # reference-style 1-arg reward fns get exact variable-length semantics
+    from simglucose_tpu.envs.functional import wrap_reward_fn
+
+    reward_fun = wrap_reward_fn(reward_fun, cfg.window_size)
 
     n_steps = int(sim_time.total_seconds() // 60) // cfg.sample_time
     seed = 0 if scenario_seed is None else int(scenario_seed)

@@ -3,8 +3,14 @@
 The reference has no mid-run persistence (SURVEY §5.4); its patient state is
 implicit in a scipy integrator object.  Here ALL state is an explicit pytree
 (:class:`EnvState`, the PPO ``TrainState``), so checkpointing is a pure
-serialization problem: orbax when available, a numpy fallback otherwise.
-Works for single-env, batched, and sharded state (sharded arrays are
+serialization problem.  Two backends:
+
+  * ``npz`` (default) — single-file numpy archive of the flattened leaves;
+    zero extra dependencies, bit-stable, best for small/medium state.
+  * ``orbax`` — :class:`orbax.checkpoint.StandardCheckpointer` directories;
+    use for large sharded training state (async-capable, per-leaf files).
+
+Both work for single-env, batched, and sharded state (sharded arrays are
 gathered to host on save; re-shard after restore with
 :func:`simglucose_tpu.parallel.sharding.shard_batch`).
 """
@@ -46,26 +52,43 @@ def restore_state(path: str, like: Any) -> Any:
 
 
 class CheckpointManager:
-    """Rolling checkpoint directory with orbax when available.
+    """Rolling checkpoint directory.
+
+    ``backend='npz'`` (default) writes one ``ckpt_<step>.npz`` per step;
+    ``backend='orbax'`` writes orbax StandardCheckpointer directories
+    (``ckpt_<step>/``) for large sharded training state.
 
     >>> mgr = CheckpointManager('/tmp/ckpts', max_to_keep=3)
     >>> mgr.save(step, train_state)
     >>> state = mgr.restore(like=train_state)      # latest
     """
 
-    def __init__(self, directory: str, max_to_keep: int = 3):
+    def __init__(self, directory: str, max_to_keep: int = 3, backend: str = "npz"):
+        if backend not in ("npz", "orbax"):
+            raise ValueError(f"backend must be 'npz' or 'orbax'; got {backend!r}")
         self.directory = os.path.abspath(directory)
         self.max_to_keep = max_to_keep
+        self.backend = backend
         os.makedirs(self.directory, exist_ok=True)
+        if backend == "orbax":
+            import orbax.checkpoint as ocp
+
+            self._ckptr = ocp.StandardCheckpointer()
 
     def _step_path(self, step: int) -> str:
-        return os.path.join(self.directory, f"ckpt_{step:012d}.npz")
+        suffix = ".npz" if self.backend == "npz" else ""
+        return os.path.join(self.directory, f"ckpt_{step:012d}{suffix}")
 
     def all_steps(self):
         steps = []
         for f in os.listdir(self.directory):
-            if f.startswith("ckpt_") and f.endswith(".npz"):
-                steps.append(int(f[len("ckpt_") : -len(".npz")]))
+            if not f.startswith("ckpt_"):
+                continue
+            tail = f[len("ckpt_"):]
+            if self.backend == "npz" and tail.endswith(".npz"):
+                steps.append(int(tail[: -len(".npz")]))
+            elif self.backend == "orbax" and tail.isdigit():
+                steps.append(int(tail))
         return sorted(steps)
 
     def latest_step(self):
@@ -74,9 +97,19 @@ class CheckpointManager:
 
     def save(self, step: int, tree: Any) -> str:
         path = self._step_path(step)
-        save_state(path, tree)
+        if self.backend == "npz":
+            save_state(path, tree)
+        else:
+            self._ckptr.save(path, tree, force=True)
+            self._ckptr.wait_until_finished()
         for old in self.all_steps()[: -self.max_to_keep]:
-            os.remove(self._step_path(old))
+            old_path = self._step_path(old)
+            if self.backend == "npz":
+                os.remove(old_path)
+            else:
+                import shutil
+
+                shutil.rmtree(old_path, ignore_errors=True)
         return path
 
     def restore(self, like: Any, step: int | None = None) -> Any:
@@ -84,4 +117,7 @@ class CheckpointManager:
             step = self.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoints under {self.directory}")
-        return restore_state(self._step_path(step), like)
+        if self.backend == "npz":
+            return restore_state(self._step_path(step), like)
+        restored = self._ckptr.restore(self._step_path(step), like)
+        return restored

@@ -64,3 +64,18 @@ def test_manager_rolling(tmp_path):
     assert mgr.latest_step() == 4
     out = mgr.restore(like=tree)
     np.testing.assert_array_equal(out["a"], tree["a"])
+
+
+def test_manager_orbax_backend(tmp_path):
+    """The orbax backend round-trips pytrees and prunes old steps."""
+    import jax.numpy as jnp
+
+    mgr = CheckpointManager(str(tmp_path), max_to_keep=2, backend="orbax")
+    tree = {"a": jnp.arange(3.0), "b": jnp.float32(1.5)}
+    for s in (1, 2, 3):
+        mgr.save(s, {"a": tree["a"] + s, "b": tree["b"]})
+    assert mgr.all_steps() == [2, 3]
+    out = mgr.restore(like=tree)
+    np.testing.assert_array_equal(np.asarray(out["a"]), np.arange(3.0) + 3)
+    out2 = mgr.restore(like=tree, step=2)
+    np.testing.assert_array_equal(np.asarray(out2["a"]), np.arange(3.0) + 2)

@@ -90,6 +90,31 @@ def test_custom_reward_fun():
             break
 
 
+def test_reward_window_variable_length_at_episode_start():
+    """A mean-based 1-arg reward must see ONLY the real CGM history at
+    episode start, exactly like the reference's Python list slice
+    ``CGM_hist[-window:]`` (reference: simulation/env.py:100-102) — never the
+    zero-padded ring buffer."""
+    import jax.numpy as jnp
+
+    def mean_reward(bg_hist):
+        return jnp.mean(bg_hist)
+
+    env = T1DSimGymEnv(
+        patient_name="adolescent#001", seed=11, reward_fun=mean_reward
+    )
+    obs0, _ = env.reset()
+    cgm_hist = [env._history[0]["CGM"]]  # reset history sample (env.py:126)
+    for k in range(4):
+        obs, reward, term, trunc, _ = env.step(np.asarray([0.01]))
+        cgm_hist.append(env._history[-1]["CGM"])
+        expected = np.mean(cgm_hist)  # k+2 real samples, window is 20
+        np.testing.assert_allclose(reward, expected, rtol=1e-6)
+        # the zero-padded mean would be ~10x smaller — guard the regression
+        padded = np.sum(cgm_hist) / env.cfg.window_size
+        assert abs(reward - padded) > 1.0
+
+
 def test_custom_scenario():
     """Custom meal scenario delivers at the requested minute
     (reference: simulation/scenario.py:21-45)."""
@@ -146,6 +171,80 @@ def test_vector_env():
         assert obs.shape == (8, 1)
         assert rew.shape == (8,)
         assert np.isfinite(rew).all()
+
+
+def test_horizon_days_truncates_native_mode():
+    """horizon_days bounds native-mode episodes too (it was a silent no-op
+    outside compat mode in round 1)."""
+    env = T1DSimGymEnv(
+        patient_name="adolescent#001", seed=3, horizon_days=9.0 / 1440
+    )  # 9-minute horizon = 3 Dexcom steps
+    env.reset()
+    truncs = []
+    for _ in range(3):
+        _, _, term, trunc, _ = env.step(np.asarray([0.01]))
+        truncs.append(trunc)
+        if term:
+            return  # terminated before the horizon; nothing to assert
+    assert truncs == [False, False, True]
+
+
+def test_noise_mode_config_authoritative():
+    """cfg.noise_mode must agree with EnvParams.noise_seq — silent fallback
+    to the other noise source is an error now."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from simglucose_tpu.envs.build import make_env
+    from simglucose_tpu.envs.functional import env_reset
+
+    cfg, params = make_env("adolescent#001", dtype=np.float64)
+    # exogenous mode without a noise_seq
+    cfg_ex = dataclasses.replace(cfg, noise_mode="exogenous")
+    with pytest.raises(ValueError, match="noise_seq"):
+        env_reset(cfg_ex, params, jax.random.PRNGKey(0))
+    # native mode with a stray noise_seq
+    params_seq = params._replace(noise_seq=jnp.zeros(16, jnp.float64))
+    with pytest.raises(ValueError, match="noise_mode"):
+        env_reset(cfg, params_seq, jax.random.PRNGKey(0))
+
+
+def test_vector_env_autoreset_gives_reset_obs():
+    """Gymnasium same-step autoreset convention: on termination the returned
+    obs is the NEW episode's reset observation and the terminal step moves to
+    info['final_observation'] (the reference wrapper gives the agent the
+    fresh episode's obs after done, simglucose_gym_env.py:48-51)."""
+    env = T1DSimVectorEnv(num_envs=4, seed=7)
+    obs, info = env.reset()
+    # max-basal insulin floods the patients -> hypoglycemia -> done quickly
+    action = np.full((4, 1), 30.0, np.float32)
+    saw_done = False
+    for _ in range(400):
+        obs, rew, term, trunc, info = env.step(action)
+        if term.any():
+            saw_done = True
+            assert "final_observation" in info
+            assert "final_info" in info
+            for i in range(4):
+                if term[i]:
+                    fin = info["final_observation"][i]
+                    assert fin is not None and fin.shape == (1,)
+                    # terminal CGM is out of the [70, 350] band (modulo
+                    # sensor noise); the returned obs belongs to a fresh
+                    # episode whose BG started in the normal range
+                    assert info["final_info"][i]["bg"] < 70.0 or (
+                        info["final_info"][i]["bg"] > 350.0
+                    )
+                    assert obs[i, 0] != fin[0]
+                    assert 70.0 < info["bg"][i] < 350.0
+                else:
+                    assert info["final_observation"][i] is None
+            assert (info["_final_observation"] == term).all()
+            break
+    assert saw_done, "expected a termination within 400 max-basal steps"
 
 
 def test_action_observation_spaces():

@@ -100,6 +100,80 @@ def test_autoreset_batch_rollout():
     assert (np.asarray(traj.BG) > 0).all()
 
 
+def test_autoreset_carry_is_reset_observation():
+    """After done, the next controller invocation must see the NEW episode's
+    reset observation, not the terminal one (the reference gym wrapper hands
+    the agent the fresh episode's obs after done, simglucose_gym_env.py:48-51).
+    """
+    import dataclasses
+
+    from simglucose_tpu.core.types import CtrlAction
+    from simglucose_tpu.envs.functional import env_reset, env_step
+    from simglucose_tpu.envs.rollout import autoreset_step
+
+    cfg, params = make_env("adolescent#001", dtype=np.float64)
+    # force termination on the very first step
+    cfg_done = dataclasses.replace(cfg, bg_done_low=1000.0)
+    state, reset_res = env_reset(cfg, params, jax.random.PRNGKey(3), start_min=0)
+    action = CtrlAction(basal=jnp.float64(0.01), bolus=jnp.float64(0.0))
+
+    new_state, res, carry = jax.jit(
+        lambda s, a: autoreset_step(cfg_done, params, s, a)
+    )(state, action)
+    assert bool(res.done), "bg_done_low=1000 must terminate immediately"
+    # the recorded result keeps the terminal step
+    _, term = jax.jit(lambda s, a: env_step(cfg_done, params, s, a))(state, action)
+    assert float(res.observation.CGM) == float(term.observation.CGM)
+    # the carry belongs to the new episode: fresh reset semantics
+    assert not bool(carry.done)
+    assert float(carry.reward) == 0.0
+    assert float(carry.CHO) == 0.0 and float(carry.insulin) == 0.0
+    assert float(carry.observation.CGM) != float(res.observation.CGM)
+    assert int(new_state.episode_step) == 0
+
+    # non-terminal step: carry is identical to the step result
+    new_state2, res2, carry2 = jax.jit(
+        lambda s, a: autoreset_step(cfg, params, s, a)
+    )(state, action)
+    assert not bool(res2.done)
+    assert float(carry2.observation.CGM) == float(res2.observation.CGM)
+    assert float(carry2.reward) == float(res2.reward)
+
+
+def test_rollout_controller_sees_reset_obs_after_done():
+    """Through make_batch_rollout_fn, the controller at step t+1 after a done
+    at t receives the reset CGM — verified with a controller that records the
+    observation it acted on."""
+    import dataclasses
+
+    from simglucose_tpu.core.types import CtrlAction
+
+    cfg, params = make_env(
+        ["adolescent#001"] * 2, dtype=np.float64, batch=True
+    )
+    cfg = dataclasses.replace(cfg, bg_done_low=1000.0)  # done every step
+
+    def recording_ctrl(seen, result):
+        # state = CGM the controller acted on this step
+        return result.observation.CGM, CtrlAction(
+            basal=jnp.float64(0.01), bolus=jnp.float64(0.0)
+        )
+
+    keys = jax.random.split(jax.random.PRNGKey(4), 2)
+    state, reset_res = batch_reset(cfg, params, keys, start_min=0)
+    run = make_batch_rollout_fn(cfg, recording_ctrl, n_steps=3, donate=False)
+    final, last, traj = run(
+        params, state, jnp.zeros(2, jnp.float64), reset_res
+    )
+    done = np.asarray(traj.done)
+    assert done.all()
+    # every step terminated, so every post-step-0 controller obs must come
+    # from a fresh episode's reset, never equal the previous terminal CGM
+    cgm_terminal = np.asarray(traj.CGM)  # [T, B]
+    cgm_carry = np.asarray(last.observation.CGM)
+    assert (cgm_carry != cgm_terminal[-1]).all()
+
+
 def test_random_init_bg_varies():
     cfg, params = make_env(
         ["adolescent#001"] * 4, dtype=np.float64, batch=True, random_init_bg=True

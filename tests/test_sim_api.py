@@ -40,6 +40,27 @@ def test_simulate_custom_scenario_pid():
     assert cho_steps[0] == 30 // 3 + 1  # +1: row 0 is the reset sample
 
 
+def test_simulate_pid_gains_configurable():
+    """PID gains are per-run configurable through the controller spec, like
+    the reference's PIDController(P, I, D) constructor
+    (reference: controller/pid_ctrller.py:9-15)."""
+    common = dict(
+        sim_time=timedelta(hours=2),
+        patient_names=["adult#001"],
+        scenario=[(0.5, 40.0)],
+        start_time=datetime(2018, 1, 1, 8, 0, 0),
+    )
+    df_default = simulate(controller="PID", **common)
+    df_tuple = simulate(controller=("PID", dict(P=-1e-3, I=-1e-6)), **common)
+    df_dict = simulate(controller={"PID": dict(P=-1e-3, I=-1e-6)}, **common)
+    bg_default = np.asarray(df_default.loc["adult#001"].BG)
+    bg_tuple = np.asarray(df_tuple.loc["adult#001"].BG)
+    bg_dict = np.asarray(df_dict.loc["adult#001"].BG)
+    # different gains change the trajectory; both spec forms are equivalent
+    assert not np.array_equal(bg_default, bg_tuple)
+    np.testing.assert_array_equal(bg_tuple, bg_dict)
+
+
 def test_simulate_save_and_report(tmp_path):
     import matplotlib
 

@@ -168,6 +168,71 @@ def gen_closedloop_variants():
         print("wrote", npz, f"rows={len(df)} BG0={df.BG.iloc[0]}")
 
 
+def gen_cohort():
+    """30-patient x 24h BBController cohort through the reference's OWN
+    batch_sim + report machinery (reference: simulation/user_interface.py:
+    364-385, tests/test_sim_engine.py:24-113): per-patient traces +
+    performance_stats / risk_trace / CVGA_stats goldens for the
+    simulate()-level end-to-end parity test (tests/test_cohort_golden.py).
+
+    Seeds mirror the reference's simulate(): every patient's sensor gets the
+    SAME cgm seed (user_interface.py:366) and a deepcopy of the SAME
+    RandomScenario (user_interface.py:368) — seed 1 / seed 1 here.
+    """
+    import copy
+    import shutil
+    import tempfile
+    from datetime import datetime, timedelta
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import pandas as pd
+    from simglucose.actuator.pump import InsulinPump
+    from simglucose.analysis.report import report
+    from simglucose.controller.basal_bolus_ctrller import BBController
+    from simglucose.sensor.cgm import CGMSensor
+    from simglucose.simulation.env import T1DSimEnv
+    from simglucose.simulation.scenario_gen import RandomScenario
+    from simglucose.simulation.sim_engine import SimObj, batch_sim
+
+    start = datetime(2018, 1, 1, 0, 0, 0)
+    params = pd.read_csv(
+        os.path.join(refharness.REFERENCE, "simglucose/params/vpatient_params.csv")
+    )
+    names = list(params.Name)
+    scenario = RandomScenario(start_time=start, seed=1)
+    sim_path = tempfile.mkdtemp()  # sim() insists on saving per-patient CSVs
+    objs = []
+    for name in names:
+        patient = refharness.make_patient(name)
+        sensor = CGMSensor.withName("Dexcom", seed=1)
+        pump = InsulinPump.withName("Insulet")
+        env = T1DSimEnv(patient, sensor, pump, copy.deepcopy(scenario))
+        objs.append(
+            SimObj(env, BBController(), timedelta(days=1), animate=False,
+                   path=sim_path)
+        )
+    results = batch_sim(objs, parallel=False)
+    df = pd.concat(results, keys=names)
+    shutil.rmtree(sim_path, ignore_errors=True)
+
+    out = {}
+    for name in names:
+        sub = df.loc[name]
+        for col in ("BG", "CGM", "CHO", "insulin", "LBGI", "HBGI", "Risk"):
+            out[f"{name}/{col}"] = sub[col].to_numpy()
+    npz = os.path.join(OUT, "cohort_golden.npz")
+    np.savez_compressed(npz, **out)
+
+    tmp = tempfile.mkdtemp()
+    report(df, tmp)
+    for f in ("performance_stats.csv", "risk_trace.csv", "CVGA_stats.csv"):
+        shutil.copy(os.path.join(tmp, f), os.path.join(OUT, "cohort_" + f))
+    shutil.rmtree(tmp, ignore_errors=True)
+    print("wrote", npz, f"({len(names)} patients, {len(df)} rows) + report CSVs")
+
+
 def gen_init_bg():
     out = {}
     params = refharness.make_patient("adolescent#001")._params
