@@ -95,6 +95,21 @@ def _resolve_controller(controller, cfg, env_params, patient_names, dtype):
     )
 
 
+def _controller_spec(controller):
+    """Normalize a controller spec to (name_or_None_or_object, kwargs)."""
+    if isinstance(controller, dict) and len(controller) == 1:
+        (name, kwargs), = controller.items()
+        return name, dict(kwargs)
+    if (
+        isinstance(controller, tuple)
+        and len(controller) == 2
+        and isinstance(controller[0], str)
+        and isinstance(controller[1], dict)
+    ):
+        return controller[0], dict(controller[1])
+    return controller, {}
+
+
 def _pallas_eligible(
     scenario, controller, animate, substeps, dtype, reward_fun
 ) -> Optional[str]:
@@ -112,11 +127,14 @@ def _pallas_eligible(
         return f"dtype={np.dtype(dtype).name} (kernel is float32)"
     if reward_fun is not risk_diff_reward:
         return "a custom reward_fun"
+    ctrl_name, ctrl_kwargs = _controller_spec(controller)
+    known_kw = {"P", "I", "D", "target"}
     if not (
-        controller is None
+        ctrl_name is None
         or (
-            isinstance(controller, str)
-            and controller.upper() in ("BB", "BASAL-BOLUS", "PID")
+            isinstance(ctrl_name, str)
+            and ctrl_name.upper() in ("BB", "BASAL-BOLUS", "PID")
+            and set(ctrl_kwargs) <= known_kw
         )
     ):
         return "a custom controller"
@@ -161,17 +179,29 @@ def _simulate_pallas(
     patient = tables.load_patient_params(names_p, dtype=np.float32)
     quest = tables.load_quest_params(names_p, dtype=np.float32)
     pump = tables.pump_record(insulin_pump_name)
+    ctrl_name, ctrl_kwargs = _controller_spec(controller)
     ctrl_kind = (
         "pid"
-        if (isinstance(controller, str) and controller.upper() == "PID")
+        if (isinstance(ctrl_name, str) and ctrl_name.upper() == "PID")
         else "bb"
     )
+    ctrl_fields = {}
+    if ctrl_kind == "pid":
+        gains = dict(P=-1e-4, I=-1e-7, D=0.0, target=140.0)
+        gains.update(ctrl_kwargs)
+        ctrl_fields = dict(
+            pid_p=float(gains["P"]), pid_i=float(gains["I"]),
+            pid_d=float(gains["D"]), pid_target=float(gains["target"]),
+        )
+    elif "target" in ctrl_kwargs:
+        ctrl_fields = dict(bb_target=float(ctrl_kwargs["target"]))
     cfg = config_for_sensor(
         cgm_name,
         n_steps=n_steps,
         block_rows=block_rows,
         t_chunk=t_chunk,
         controller=ctrl_kind,
+        **ctrl_fields,
         inc_basal=float(pump["inc_basal"]),
         min_basal=float(pump["min_basal"]),
         max_basal=float(pump["max_basal"]),

@@ -225,8 +225,23 @@ def gen_cohort():
     npz = os.path.join(OUT, "cohort_golden.npz")
     np.savez_compressed(npz, **out)
 
+    # The reference's risk_index_trace relies on legacy numpy/pandas
+    # semantics where np.mean(DataFrame) reduced per column
+    # (reference: analysis/report.py:99-101); restore that behavior for the
+    # duration of the report call.
+    orig_mean = np.mean
+
+    def _mean_compat(a, *args, **kw):
+        if isinstance(a, pd.DataFrame) and not args and not kw:
+            return a.mean()
+        return orig_mean(a, *args, **kw)
+
     tmp = tempfile.mkdtemp()
-    report(df, tmp)
+    np.mean = _mean_compat
+    try:
+        report(df, tmp)
+    finally:
+        np.mean = orig_mean
     for f in ("performance_stats.csv", "risk_trace.csv", "CVGA_stats.csv"):
         shutil.copy(os.path.join(tmp, f), os.path.join(OUT, "cohort_" + f))
     shutil.rmtree(tmp, ignore_errors=True)
