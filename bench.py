@@ -38,26 +38,41 @@ B = 4096
 
 
 def bench_pallas():
-    """Fast path: full closed-loop simulator as one in-VMEM pallas kernel."""
+    """Fast path: full closed-loop simulator as one in-VMEM pallas kernel.
+
+    On multi-chip backends the kernel runs under shard_map over a dp mesh —
+    one kernel instance per chip, zero rollout communication; the global
+    batch scales with the chip count at a fixed per-chip batch of 4096."""
     from simglucose_tpu.envs.build import cohort_names, make_env
     from simglucose_tpu.models.uva_padova import basal_rate
     from simglucose_tpu.ops.pallas_rollout import (
         PallasRolloutConfig,
         make_pallas_rollout,
+        make_sharded_pallas_rollout,
         pack_params,
     )
 
     T = 4096
     n_calls = 24
+    n_dev = jax.device_count()
+    Bg = B * n_dev  # global batch: 4096 per chip
 
-    _, params = make_env(cohort_names(B), batch=True, dtype=np.float32)
-    packed = jax.device_put(
-        pack_params(params.patient, basal_rate(params.patient))
-    )
+    _, params = make_env(cohort_names(Bg), batch=True, dtype=np.float32)
+    packed = pack_params(params.patient, basal_rate(params.patient))
     pcfg = PallasRolloutConfig(
         n_steps=T, block_rows=32, t_chunk=32, controller="pid"
     )
-    run = jax.jit(make_pallas_rollout(pcfg, B))
+    if n_dev > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from simglucose_tpu.parallel.sharding import make_mesh
+
+        mesh = make_mesh(dp=n_dev, tp=1)
+        packed = jax.device_put(packed, NamedSharding(mesh, P(None, "dp")))
+        run = jax.jit(make_sharded_pallas_rollout(pcfg, Bg, mesh))
+    else:
+        packed = jax.device_put(packed)
+        run = jax.jit(make_pallas_rollout(pcfg, Bg))
 
     traj = run(packed, 0)
     _ = float(np.asarray(traj["reward"][-1])[0])  # drain pipeline
@@ -72,7 +87,7 @@ def bench_pallas():
         final = np.asarray(traj["reward"][-1])  # hard fetch == true barrier
         toc = time.perf_counter()
         assert np.isfinite(final).all()
-        best = max(best, B * T * n_calls / (toc - tic))
+        best = max(best, Bg * T * n_calls / (toc - tic))
     return best
 
 

@@ -26,7 +26,9 @@ key = jax.random.PRNGKey(0)
 env_state, reset_res = batch_reset(cfg, env_params, jax.random.split(key, B))
 
 ppo_cfg = PPOConfig(rollout_steps=64, epochs=2, minibatches=4)
-policy = init_policy(jax.random.fold_in(key, 1))
+policy = init_policy(
+    jax.random.fold_in(key, 1), init_log_std=ppo_cfg.init_log_std
+)
 opt_state = make_optimizer(ppo_cfg).init(policy)
 
 n_dev = len(jax.devices())

@@ -109,6 +109,19 @@ class PallasRolloutConfig:
     deterministic: bool = False
     det_meal_times: tuple = ()
     det_meal_amounts: tuple = ()
+    # 'hw': TPU hardware PRNG (fastest; real TPUs only).  'sw': counter-based
+    # in-kernel generator (murmur-mix over lane/seed/call indices) — same
+    # stochastic law, works in CPU interpret mode, so the stochastic kernel
+    # path has CI coverage (tests/test_pallas_rollout.py).
+    prng: str = "hw"
+    # exogenous_noise=True: CGM noise comes from caller-supplied planes
+    # (reset_noise [2, rows, 128] + step_noise [n_steps, rows, 128]) indexed
+    # exactly like the env path's EnvParams.noise_seq (devices/cgm.py) — 2
+    # reset pops then one per step.  This is how the kernel is
+    # golden-verified against the env path (and hence the reference,
+    # sensor/noise_gen.py:15-69) with IDENTICAL noise, not just
+    # distribution-matched.  Requires autoreset=False.
+    exogenous_noise: bool = False
 
 
 def config_for_sensor(sensor: str = "Dexcom", **overrides) -> "PallasRolloutConfig":
@@ -167,24 +180,63 @@ def _unpack_params(pref, rs: slice) -> tuple:
 
 
 # ---------------------------------------------------------------------------
-# In-kernel RNG helpers (TPU hardware PRNG)
+# In-kernel RNG helpers
 # ---------------------------------------------------------------------------
 
 
-def _uniform(shape):
-    """U(0,1) in [1e-7, 1): random bits -> float via the exponent trick.
+class _HwRng:
+    """TPU hardware PRNG (fastest; no CPU interpret-mode lowering).
+    ``pltpu.prng_seed`` must have been called before the first draw."""
 
-    prng_random_bits yields int32 — bitcast to uint32 BEFORE shifting, or the
-    arithmetic shift drags sign bits into the exponent (NaNs)."""
-    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    def bits(self, shape):
+        # prng_random_bits yields int32 — bitcast to uint32 BEFORE shifting,
+        # or the arithmetic shift drags sign bits into the exponent (NaNs)
+        return pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+
+
+class _SwRng:
+    """Counter-based software PRNG: murmur3-finalizer mix over
+    (seed, call counter, element index).
+
+    The kernel body is fully unrolled at trace time, so each draw site gets
+    a unique static counter; the per-(block, t_chunk) seed decorrelates grid
+    steps exactly like the hw path's ``prng_seed`` call.  Statistically
+    adequate for the simulator's noise/meal/reset laws (two fmix32 rounds);
+    runs everywhere (VPU-friendly uint32 ops, CPU interpret mode included).
+    """
+
+    def __init__(self, seed):
+        self._seed = seed.astype(jnp.uint32)
+        self._n = 0
+
+    def bits(self, shape):
+        self._n += 1
+        idx = jax.lax.broadcasted_iota(
+            jnp.uint32, shape, 0
+        ) * jnp.uint32(shape[1]) + jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+        x = idx * jnp.uint32(0x9E3779B9)
+        x = x ^ (self._seed * jnp.uint32(0x85EBCA6B))
+        x = x + jnp.uint32((self._n * 0x632BE59B) & 0xFFFFFFFF)
+        for _ in range(2):  # murmur3 fmix32 x2
+            x = x ^ (x >> 16)
+            x = x * jnp.uint32(0x85EBCA6B)
+            x = x ^ (x >> 13)
+            x = x * jnp.uint32(0xC2B2AE35)
+            x = x ^ (x >> 16)
+        return x
+
+
+def _uniform(rng, shape):
+    """U(0,1) in [1e-7, 1): random bits -> float via the exponent trick."""
+    bits = rng.bits(shape)
     f = pltpu.bitcast((bits >> 9) | jnp.uint32(0x3F800000), jnp.float32)
     return jnp.maximum(f - 1.0, 1e-7)  # [1.0, 2.0) -> [1e-7, 1.0)
 
 
-def _normal_pair(shape):
+def _normal_pair(rng, shape):
     """Two N(0,1) draws per lane via Box-Muller."""
-    u1 = _uniform(shape)
-    u2 = _uniform(shape)
+    u1 = _uniform(rng, shape)
+    u2 = _uniform(rng, shape)
     r = jnp.sqrt(-2.0 * jnp.log(u1))
     th = (2.0 * math.pi) * u2
     return r * jnp.cos(th), r * jnp.sin(th)
@@ -273,7 +325,7 @@ def _quantize(amount, inc, lo, hi):
     return jnp.clip(jnp.round(amount * 6000.0 / inc) * inc / 6000.0, lo, hi)
 
 
-def _draw_meal_plan(cfg: PallasRolloutConfig, shape):
+def _draw_meal_plan(cfg: PallasRolloutConfig, rng, shape):
     """One day's meal plan: (times[6 of shape], amounts[6 of shape]).
 
     This runs branchlessly EVERY env step (day rollovers are per-patient and
@@ -285,11 +337,11 @@ def _draw_meal_plan(cfg: PallasRolloutConfig, shape):
     times, amounts = [], []
     amt_z = []
     for _ in range(3):
-        z1, z2 = _normal_pair(shape)
+        z1, z2 = _normal_pair(rng, shape)
         amt_z += [z1, z2]
     for s in range(6):
-        u_occ = _uniform(shape)
-        u_t = _uniform(shape)
+        u_occ = _uniform(rng, shape)
+        u_t = _uniform(rng, shape)
         mu, sig = _TIME_MU[s], _TIME_SIGMA[s]
         a_cdf = 0.5 * (1.0 + math.erf((_TIME_LB[s] - mu) / sig / math.sqrt(2.0)))
         b_cdf = 0.5 * (1.0 + math.erf((_TIME_UB[s] - mu) / sig / math.sqrt(2.0)))
@@ -337,13 +389,19 @@ def _risk_of(bg):
 #   36 pid_integ     37 pid_prev  38 prev_CGM (for reward)
 #   39 prev_CHO (previous step's averaged CHO — the BB controller's meal
 #      announcement input, mirroring StepResult.CHO)
-NS_F = 40
+#   40 ctrl_prev (the observation the controller acts on — equals prev_CGM
+#      except at episode start, where the env's reset draws TWO noise pops:
+#      the history sample feeds the reward window and the obs sample feeds
+#      the controller, env.py:126,142)
+NS_F = 41
 #   int planes: 0 t_min (episode minutes)  1 start_min  2 day  3 seg
 #   4 lattice_next  5 sample_count
 NS_I = 6
 
 
-def _reset_values(cfg: PallasRolloutConfig, x0, shape, with_plan: bool = True):
+def _reset_values(
+    cfg: PallasRolloutConfig, rng, x0, shape, with_plan: bool = True
+):
     """Fresh-episode state values (patient/sensor/scenario init).
 
     ``with_plan=False`` skips drawing a meal plan (the in-step auto-reset
@@ -351,20 +409,27 @@ def _reset_values(cfg: PallasRolloutConfig, x0, shape, with_plan: bool = True):
     consuming the existing plan is the same law at ~40% less per-step math).
     """
     xs = list(x0)
+    lattice_needed = not (cfg.deterministic or cfg.exogenous_noise)
     # 6 normals (3 init-BG + 3 noise-lattice) from exactly 3 Box-Muller pairs
     lat_z = None
     if not cfg.deterministic:
-        if cfg.random_init_bg:
-            za, zb = _normal_pair(shape)
-            zc, zd = _normal_pair(shape)
-            ze, zf = _normal_pair(shape)
+        if cfg.random_init_bg and lattice_needed:
+            za, zb = _normal_pair(rng, shape)
+            zc, zd = _normal_pair(rng, shape)
+            ze, zf = _normal_pair(rng, shape)
             for idx, z in ((3, za), (4, zb), (12, zc)):
                 mean = x0[idx]
                 xs[idx] = mean + jnp.sqrt(0.1 * mean) * z
             lat_z = (zd, ze, zf)
-        else:
-            za, zb = _normal_pair(shape)
-            zc, _ = _normal_pair(shape)
+        elif cfg.random_init_bg:
+            za, zb = _normal_pair(rng, shape)
+            zc, _ = _normal_pair(rng, shape)
+            for idx, z in ((3, za), (4, zb), (12, zc)):
+                mean = x0[idx]
+                xs[idx] = mean + jnp.sqrt(0.1 * mean) * z
+        elif lattice_needed:
+            za, zb = _normal_pair(rng, shape)
+            zc, _ = _normal_pair(rng, shape)
             lat_z = (za, zb, zc)
     zero = jnp.zeros(shape, jnp.float32)
     f = {
@@ -379,7 +444,7 @@ def _reset_values(cfg: PallasRolloutConfig, x0, shape, with_plan: bool = True):
         "have_prev": zero,
     }
     # sensor lattice init (ops/noise.py:52-73)
-    if cfg.deterministic:
+    if lat_z is None:
         f["e"] = zero
         f["lat"] = (zero, zero, zero, zero)
     else:
@@ -396,12 +461,12 @@ def _reset_values(cfg: PallasRolloutConfig, x0, shape, with_plan: bool = True):
         f["start_min"] = jnp.zeros(shape, jnp.int32)
     else:
         if with_plan:
-            mt, ma = _draw_meal_plan(cfg, shape)
+            mt, ma = _draw_meal_plan(cfg, rng, shape)
             f["meal_t"], f["meal_a"] = mt, ma
         if cfg.fixed_start_min >= 0:
             f["start_min"] = jnp.full(shape, cfg.fixed_start_min, jnp.int32)
         else:
-            hour = jnp.floor(_uniform(shape) * 24.0).astype(jnp.int32)
+            hour = jnp.floor(_uniform(rng, shape) * 24.0).astype(jnp.int32)
             f["start_min"] = hour * 60
     return f
 
@@ -413,14 +478,26 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
     shape = (R, LANES)
     n_tchunks = cfg.n_steps // TC
 
-    def kernel(seed_ref, pref, cgm_out, bg_out, rew_out, done_out,
-               cho_out, ins_out, rst_out, fs, is_):
+    def kernel(*refs):
+        if cfg.exogenous_noise:
+            (seed_ref, pref, rnoise_ref, noise_ref, cgm_out, bg_out,
+             rew_out, done_out, cho_out, ins_out, rst_out, fs, is_) = refs
+        else:
+            (seed_ref, pref, cgm_out, bg_out, rew_out, done_out,
+             cho_out, ins_out, rst_out, fs, is_) = refs
+            rnoise_ref = noise_ref = None
         b = pl.program_id(0)
         t = pl.program_id(1)
-        if not cfg.deterministic:
-            # (prng only exists on real TPUs; the deterministic config — the
-            # CPU interpret-mode parity test — never draws)
-            pltpu.prng_seed(seed_ref[0] + b * jnp.int32(1000003) + t)
+        if cfg.deterministic:
+            rng = None  # the exact-parity config never draws
+        else:
+            sv = seed_ref[0] + b * jnp.int32(1000003) + t
+            if cfg.prng == "hw":
+                # hw PRNG only lowers on real TPUs; 'sw' covers interpret mode
+                pltpu.prng_seed(sv)
+                rng = _HwRng()
+            else:
+                rng = _SwRng(sv)
 
         p, x0, (basal_rate_u, quest_CR, quest_CF) = _unpack_params(
             pref, slice(None)
@@ -428,7 +505,7 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
 
         @pl.when(t == 0)
         def _init():
-            fvals = _reset_values(cfg, x0, shape)
+            fvals = _reset_values(cfg, rng, x0, shape)
             for i in range(13):
                 fs[i] = fvals["xs"][i]
             fs[13] = fvals["planned"]
@@ -437,17 +514,27 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
             fs[16] = fvals["last_Qsto"]
             fs[17] = fvals["foodtaken"]
             bg0 = fvals["xs"][12] / p.Vg
-            if cfg.deterministic:
-                cgm0 = jnp.clip(bg0, cfg.cgm_min, cfg.cgm_max)
+            if cfg.exogenous_noise:
+                # the env's reset draws TWO noise pops (env.py:126,142):
+                # [0] -> history row 0 / reward window, [1] -> the obs the
+                # first controller call acts on
+                cgm_hist0 = jnp.clip(
+                    bg0 + rnoise_ref[0], cfg.cgm_min, cfg.cgm_max
+                )
+                cgm_obs0 = jnp.clip(
+                    bg0 + rnoise_ref[1], cfg.cgm_min, cfg.cgm_max
+                )
+            elif cfg.deterministic:
+                cgm_hist0 = cgm_obs0 = jnp.clip(bg0, cfg.cgm_min, cfg.cgm_max)
             else:
                 # Catmull-Rom at tau=0 is exactly lat[1]
-                cgm0 = jnp.clip(
+                cgm_hist0 = cgm_obs0 = jnp.clip(
                     bg0 + fvals["lat"][1], cfg.cgm_min, cfg.cgm_max
                 )
-            fs[18] = cgm0
+            fs[18] = cgm_obs0  # ZOH value between samples
             # reset observation (the frame's row 0, reference env.py:119-134)
             rst_out[0] = bg0
-            rst_out[1] = cgm0
+            rst_out[1] = cgm_hist0
             fs[19] = fvals["e"]
             for i in range(4):
                 fs[20 + i] = fvals["lat"][i]
@@ -459,8 +546,9 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
             # prev CGM = the reset history sample; the first step's reward is
             # risk(reset CGM) - risk(step CGM), matching env_reset's
             # window = [CGM_hist0] + first-step window_len == 2 (env.py:126,100)
-            fs[38] = cgm0
+            fs[38] = cgm_hist0
             fs[39] = jnp.zeros(shape, jnp.float32)  # prev_CHO
+            fs[40] = cgm_obs0  # the first controller observation
             is_[0] = jnp.zeros(shape, jnp.int32)  # t_min
             is_[1] = fvals["start_min"]
             is_[2] = jnp.zeros(shape, jnp.int32)  # day
@@ -479,6 +567,7 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
         pid_integ, pid_prev = fs[36], fs[37]
         prev_cgm = fs[38]
         prev_cho = fs[39]
+        ctrl_prev = fs[40]
         t_min = is_[0]
         start_min = is_[1]
         day = is_[2]
@@ -490,7 +579,7 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
             # ---- controller acts on the previous step's CGM observation,
             # exactly like the closed loop (sim_engine.py:33-37) ----
             if cfg.controller == "pid":
-                obs = prev_cgm
+                obs = ctrl_prev
                 control = (
                     cfg.pid_p * (obs - cfg.pid_target)
                     + cfg.pid_i * pid_integ
@@ -505,7 +594,7 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
                 # basal-bolus therapy on the previous step's CGM + announced
                 # meal (controllers/functional.py bb_controller, reference
                 # basal_bolus_ctrller.py:34-80): bolus only when meal > 0
-                glucose = prev_cgm
+                glucose = ctrl_prev
                 meal_ann = prev_cho  # g/min averaged over the prev step
                 bolus_u = (meal_ann * st) / quest_CR + (
                     glucose > 150.0
@@ -529,7 +618,7 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
                 mins_last = start_min + t_min + (st - 1)
                 day_end = mins_last // MINUTES_PER_DAY
                 regen = (day_end > day).astype(jnp.float32)
-                new_t, new_a = _draw_meal_plan(cfg, shape)
+                new_t, new_a = _draw_meal_plan(cfg, rng, shape)
                 for s in range(6):
                     meal_t[s] = regen * new_t[s] + (1.0 - regen) * meal_t[s]
                     meal_a[s] = regen * new_a[s] + (1.0 - regen) * meal_a[s]
@@ -590,7 +679,15 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
                 bg_m = xs[12] / p.Vg
                 if m == st - 1:
                     # fresh CGM sample (devices/cgm.py + ops/noise.py)
-                    if cfg.deterministic:
+                    if cfg.exogenous_noise:
+                        # noise plane row i_step = the env path's
+                        # noise_seq[step + 2] (2 reset pops first)
+                        cgm_m = jnp.clip(
+                            bg_m + noise_ref[i_step],
+                            cfg.cgm_min,
+                            cfg.cgm_max,
+                        )
+                    elif cfg.deterministic:
                         cgm_m = jnp.clip(bg_m, cfg.cgm_min, cfg.cgm_max)
                     else:
                         tau = (n_samp + 1) * st
@@ -599,7 +696,7 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
                             jnp.float32
                         ) / MDL_SAMPLE_TIME
                         need = ((k + 2) >= lat_next).astype(jnp.float32)
-                        z, _ = _normal_pair(shape)
+                        z, _ = _normal_pair(rng, shape)
                         e_new = cfg.pacf * (e_ar + z)
                         eps_new = _johnson(cfg, e_new)
                         e_ar = need * e_new + (1.0 - need) * e_ar
@@ -644,10 +741,11 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
 
             prev_cgm = CGM_acc
             prev_cho = CHO_acc
+            ctrl_prev = CGM_acc
 
             # ---- auto-reset (rollout.py autoreset_step semantics) ----
             if not cfg.deterministic and cfg.autoreset:
-                r = _reset_values(cfg, x0, shape, with_plan=False)
+                r = _reset_values(cfg, rng, x0, shape, with_plan=False)
                 bg0 = r["xs"][12] / p.Vg
                 # Catmull-Rom at tau=0 is exactly lat[1]
                 cgm0 = jnp.clip(bg0 + r["lat"][1], cfg.cgm_min, cfg.cgm_max)
@@ -669,6 +767,9 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
                 pid_integ = mix(pid_integ, r["pid_integ"])
                 pid_prev = mix(pid_prev, r["pid_prev"])
                 prev_cgm = mix(prev_cgm, cgm0)
+                # the next controller invocation sees the NEW episode's reset
+                # obs (autoreset_step carry semantics, envs/rollout.py)
+                ctrl_prev = mix(ctrl_prev, cgm0)
                 prev_cho = keep * prev_cho  # fresh episode: no announced meal
                 keep_i = (1 - done).astype(jnp.int32)
                 done_i = done.astype(jnp.int32)
@@ -693,6 +794,7 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
         fs[36], fs[37] = pid_integ, pid_prev
         fs[38] = prev_cgm
         fs[39] = prev_cho
+        fs[40] = ctrl_prev
         is_[0], is_[1], is_[2] = t_min, start_min, day
         is_[3], is_[4], is_[5] = seg, lat_next, n_samp
 
@@ -704,6 +806,12 @@ def make_pallas_rollout(cfg: PallasRolloutConfig, batch: int, interpret: bool = 
 
     ``packed_params`` from :func:`pack_params`; returns arrays [n_steps, B]
     for CGM/BG/reward/done/CHO/insulin.
+
+    With ``cfg.exogenous_noise`` the runner takes two extra arrays:
+    ``run(packed, seed, reset_noise, step_noise)`` where ``reset_noise`` is
+    [2, rows, 128] (the env's two reset pops) and ``step_noise`` is
+    [n_steps, rows, 128] (one per step) — the same values the env path would
+    read from ``EnvParams.noise_seq[0:2]`` and ``[2:n_steps+2]``.
     """
     R = cfg.block_rows
     block = R * LANES
@@ -711,6 +819,13 @@ def make_pallas_rollout(cfg: PallasRolloutConfig, batch: int, interpret: bool = 
         raise ValueError(f"batch {batch} must be a multiple of {block}")
     if cfg.n_steps % cfg.t_chunk:
         raise ValueError("n_steps must be a multiple of t_chunk")
+    if cfg.exogenous_noise and cfg.autoreset:
+        raise ValueError(
+            "exogenous_noise requires autoreset=False (in-step resets would "
+            "need reset-noise indexing the planes don't carry)"
+        )
+    if cfg.prng not in ("hw", "sw"):
+        raise ValueError(f"prng must be 'hw' or 'sw'; got {cfg.prng!r}")
     n_blocks = batch // block
     n_tchunks = cfg.n_steps // cfg.t_chunk
     rows = batch // LANES
@@ -727,17 +842,28 @@ def make_pallas_rollout(cfg: PallasRolloutConfig, batch: int, interpret: bool = 
         (2, R, LANES), lambda b, t: (0, b, 0), memory_space=pltpu.VMEM
     )
 
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
+        pl.BlockSpec(
+            (NP_PLANES, R, LANES),
+            lambda b, t: (0, b, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    if cfg.exogenous_noise:
+        in_specs += [
+            pl.BlockSpec(  # reset noise: both pops, every grid step
+                (2, R, LANES), lambda b, t: (0, b, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(  # step noise: this t_chunk's rows
+                (TC, R, LANES), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM
+            ),
+        ]
+
     call = pl.pallas_call(
         kernel,
         grid=(n_blocks, n_tchunks),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
-            pl.BlockSpec(
-                (NP_PLANES, R, LANES),
-                lambda b, t: (0, b, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        in_specs=in_specs,
         out_shape=[out_field] * 6 + [rst_field],
         out_specs=[traj_spec] * 6 + [rst_spec],
         scratch_shapes=[
@@ -747,9 +873,22 @@ def make_pallas_rollout(cfg: PallasRolloutConfig, batch: int, interpret: bool = 
         interpret=interpret,
     )
 
-    def run(packed_params: jnp.ndarray, seed) -> dict:
+    def run(packed_params: jnp.ndarray, seed, reset_noise=None, step_noise=None) -> dict:
         seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
-        cgm, bg, rew, done, cho, ins, rst = call(seed_arr, packed_params)
+        if cfg.exogenous_noise:
+            if reset_noise is None or step_noise is None:
+                raise ValueError(
+                    "exogenous_noise config needs reset_noise [2, rows, 128] "
+                    "and step_noise [n_steps, rows, 128]"
+                )
+            cgm, bg, rew, done, cho, ins, rst = call(
+                seed_arr,
+                packed_params,
+                jnp.asarray(reset_noise, jnp.float32),
+                jnp.asarray(step_noise, jnp.float32),
+            )
+        else:
+            cgm, bg, rew, done, cho, ins, rst = call(seed_arr, packed_params)
         unb = lambda a: a.reshape(cfg.n_steps, batch)
         return {
             "CGM": unb(cgm),

@@ -47,7 +47,12 @@ def param_specs() -> PolicyParams:
     )
 
 
-def init_policy(key: jax.Array, hidden: int = 128, dtype=jnp.float32) -> PolicyParams:
+def init_policy(
+    key: jax.Array,
+    hidden: int = 128,
+    dtype=jnp.float32,
+    init_log_std: float = -0.5,
+) -> PolicyParams:
     k1, k2, k3, k4 = jax.random.split(key, 4)
 
     def he(k, shape):
@@ -60,21 +65,27 @@ def init_policy(key: jax.Array, hidden: int = 128, dtype=jnp.float32) -> PolicyP
         b2=jnp.zeros((hidden,), dtype),
         w_mu=he(k3, (hidden, 1)) * 0.01,
         b_mu=jnp.zeros((1,), dtype),
-        log_std=jnp.full((1,), -1.0, dtype),
+        log_std=jnp.full((1,), init_log_std, dtype),
         w_v=he(k4, (hidden, 1)),
         b_v=jnp.zeros((1,), dtype),
     )
 
 
 def featurize(result) -> jnp.ndarray:
-    """StepResult -> [..., OBS_DIM] normalized features."""
+    """StepResult -> [..., OBS_DIM] normalized features.
+
+    All features are bounded: insulin can reach the pump's 30 U/min ceiling
+    while exploring, and an unbounded ``insulin*10`` feature saturates the
+    tanh trunk (72% of units at |h|>0.99 in round-1 diagnostics), killing
+    the policy gradient.  tanh-squashing keeps resolution in the
+    therapeutic range (~0.01-0.1 U/min) and bounds the tail."""
     cgm = result.observation.CGM
     return jnp.stack(
         [
             cgm / 400.0,
             (cgm - 140.0) / 100.0,
-            result.insulin * 10.0,
-            result.CHO / 10.0,
+            jnp.tanh(result.insulin),
+            jnp.tanh(result.CHO / 10.0),
         ],
         axis=-1,
     )
@@ -113,12 +124,17 @@ def gaussian_logprob(mu, log_std, x):
     return -0.5 * z * z - log_std - 0.5 * jnp.log(2.0 * jnp.pi)
 
 
-def sample_action(params: PolicyParams, obs, key, max_basal: float = 30.0, mesh=None):
-    """Sample a basal rate (U/min): squash N(mu, std) through a scaled
-    sigmoid onto [0, max_basal/10] (therapeutic basal range)."""
+def sample_action(params: PolicyParams, obs, key, scale: float = 0.2, mesh=None):
+    """Sample a basal rate (U/min): squash N(mu, std) through a sigmoid
+    onto [0, scale].
+
+    ``scale`` bounds exploration to an informative band: cohort basal rates
+    are 0.01-0.06 U/min (u2ss*BW/6000), so the default 0.2 covers ~4x the
+    strongest therapy while excluding the instantly-fatal region near the
+    pump's 30 U/min ceiling (see PPOConfig.action_scale)."""
     mu, log_std, v = policy_apply(params, obs, mesh=mesh)
     eps = jax.random.normal(key, mu.shape, mu.dtype)
     raw = mu + jnp.exp(log_std) * eps
     logp = gaussian_logprob(mu, log_std, raw)
-    basal = jax.nn.sigmoid(raw) * (max_basal / 10.0)
+    basal = jax.nn.sigmoid(raw) * scale
     return basal, raw, logp, v

@@ -44,6 +44,14 @@ class PPOConfig:
     lr: float = 3e-4
     max_grad_norm: float = 0.5
     max_basal: float = 30.0  # Insulet pump limit (params/pump_params.csv)
+    # upper bound of the policy's basal range (U/min): the squashed Gaussian
+    # emits basal in [0, action_scale].  The pump ceiling (30 U/min) is ~500x
+    # a therapeutic basal (~0.01-0.06, vpatient u2ss*BW/6000), so exploring
+    # the full pump range gives every action the same outcome (fatal hypo)
+    # and no gradient; 0.2 covers ~4x the strongest cohort basal while
+    # keeping the explored band informative.
+    action_scale: float = 0.2
+    init_log_std: float = -0.5
 
 
 class TrainState(NamedTuple):
@@ -86,7 +94,7 @@ def _rollout(
         key, k_act = jax.random.split(key)
         obs = featurize(prev)
         basal, raw, logp, value = sample_action(
-            params, obs, k_act, max_basal=cfg.max_basal, mesh=mesh
+            params, obs, k_act, scale=cfg.action_scale, mesh=mesh
         )
         action = CtrlAction(basal=basal, bolus=jnp.zeros_like(basal))
         env_state, res, carry_res = jax.vmap(partial(autoreset_step, env_cfg))(

@@ -154,26 +154,34 @@ def _simulate_pallas(
     seed,
     start_time,
     sample_time_check=None,
+    interpret=False,
 ):
     """Cohort simulation on the single-kernel in-VMEM pallas engine
     (~40x the XLA scan path; see ops/pallas_rollout.py).  Fixed horizon, no
-    auto-reset — the reference batch_sim semantics (sim_engine.py:29-39)."""
+    auto-reset — the reference batch_sim semantics (sim_engine.py:29-39).
+
+    On multi-device backends the kernel runs under shard_map over a dp mesh
+    (one kernel instance per chip, zero rollout communication —
+    ops/pallas_rollout.py make_sharded_pallas_rollout)."""
     from simglucose_tpu.analysis.risk import risk_scalar
     from simglucose_tpu.models.uva_padova import basal_rate
     from simglucose_tpu.ops.pallas_rollout import (
         LANES,
         config_for_sensor,
         make_pallas_rollout,
+        make_sharded_pallas_rollout,
         pack_params,
     )
 
+    n_dev = jax.device_count()
     B = len(patient_names)
-    # pad the cohort to the kernel's lane width (results sliced back)
-    padded = B if B % LANES == 0 else B + (LANES - B % LANES)
+    # pad the cohort to the kernel's lane width x device count (results
+    # sliced back)
+    unit = LANES * n_dev
+    padded = B if B % unit == 0 else B + (unit - B % unit)
     names_p = [patient_names[i % B] for i in range(padded)]
-    block_rows = max(
-        r for r in (32, 16, 8, 4, 2, 1) if (padded // LANES) % r == 0
-    )
+    rows_per_dev = padded // LANES // n_dev
+    block_rows = max(r for r in (32, 16, 8, 4, 2, 1) if rows_per_dev % r == 0)
     t_chunk = max(c for c in (32, 16, 8, 6, 5, 4, 3, 2, 1) if n_steps % c == 0)
 
     patient = tables.load_patient_params(names_p, dtype=np.float32)
@@ -201,6 +209,9 @@ def _simulate_pallas(
         block_rows=block_rows,
         t_chunk=t_chunk,
         controller=ctrl_kind,
+        # hw PRNG on real TPUs; the sw generator lets the engine run under
+        # CPU interpret mode (tests) with the same stochastic laws
+        prng="hw" if jax.default_backend() == "tpu" else "sw",
         **ctrl_fields,
         inc_basal=float(pump["inc_basal"]),
         min_basal=float(pump["min_basal"]),
@@ -215,7 +226,22 @@ def _simulate_pallas(
     if sample_time_check is not None:
         assert cfg.sample_time == sample_time_check
     packed = pack_params(patient, basal_rate(patient), quest=quest)
-    traj = make_pallas_rollout(cfg, padded)(packed, seed)
+    if n_dev > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from simglucose_tpu.parallel.sharding import make_mesh
+
+        mesh = make_mesh(dp=n_dev, tp=1)
+        packed = jax.device_put(
+            packed, NamedSharding(mesh, P(None, "dp"))
+        )
+        traj = make_sharded_pallas_rollout(
+            cfg, padded, mesh, interpret=interpret
+        )(packed, seed)
+    else:
+        traj = make_pallas_rollout(cfg, padded, interpret=interpret)(
+            packed, seed
+        )
 
     # per-step risk columns (reference env.py:83-85) computed on device
     LBGI, HBGI, RI = jax.jit(risk_scalar)(traj["BG"])

@@ -78,12 +78,122 @@ WORKER = textwrap.dedent(
 )
 
 
+WORKER_PPO = textwrap.dedent(
+    """
+    import os, sys
+    pid, nproc, port, outdir = (
+        int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+    )
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    from simglucose_tpu.parallel.multihost import initialize
+    initialize(f"127.0.0.1:{port}", num_processes=nproc, process_id=pid)
+    assert jax.process_count() == nproc and jax.device_count() == 8
+
+    import numpy as np
+    from simglucose_tpu.envs.build import cohort_names, make_env
+    from simglucose_tpu.envs.rollout import batch_reset
+    from simglucose_tpu.parallel.sharding import make_mesh, replicate, shard_batch
+    from simglucose_tpu.rl.policy import init_policy
+    from simglucose_tpu.rl.ppo import (
+        PPOConfig, TrainState, make_optimizer, make_train_step,
+    )
+
+    B = 16
+    cfg, env_params = make_env(
+        cohort_names(B), batch=True, random_init_bg=True, dtype=np.float32
+    )
+    key = jax.random.PRNGKey(0)
+    mesh = make_mesh(dp=8, tp=1)
+    env_params_s = shard_batch(env_params, mesh)
+    keys_s = shard_batch(jax.random.split(key, B), mesh)
+    env_state, reset_res = jax.jit(lambda p, k: batch_reset(cfg, p, k))(
+        env_params_s, keys_s
+    )
+
+    ppo_cfg = PPOConfig(rollout_steps=2, epochs=1, minibatches=2)
+    policy = init_policy(jax.random.fold_in(key, 1), hidden=32)
+    ts = TrainState(
+        params=replicate(policy, mesh),
+        opt_state=replicate(make_optimizer(ppo_cfg).init(policy), mesh),
+        env_state=env_state,
+        prev_res=reset_res,
+        key=replicate(key, mesh),
+    )
+    train_step = jax.jit(make_train_step(ppo_cfg, cfg, mesh=mesh))
+    with mesh:
+        ts2, metrics = train_step(env_params_s, ts)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    # replicated post-update params are fully addressable on every host
+    leaves = [np.asarray(x) for x in jax.tree.leaves(ts2.params)]
+    init_leaves = [np.asarray(x) for x in jax.tree.leaves(policy)]
+    np.savez(
+        os.path.join(outdir, f"ppo{pid}.npz"),
+        reward_mean=float(metrics["reward_mean"]),
+        **{f"leaf_{i}": a for i, a in enumerate(leaves)},
+        **{f"init_{i}": a for i, a in enumerate(init_leaves)},
+    )
+    print(f"ppo proc {pid} OK", flush=True)
+    """
+)
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
     port = s.getsockname()[1]
     s.close()
     return port
+
+
+def test_two_process_ppo_learner_identical_params(tmp_path):
+    """BASELINE config 5 (multi-host sharded PPO learner): one train_step
+    across a 2-process gloo dp mesh — the gradient all-reduce contract is
+    that BOTH hosts hold bit-identical replicated post-update params."""
+    port = _free_port()
+    worker = tmp_path / "worker_ppo.py"
+    worker.write_text(WORKER_PPO)
+    outdir = tmp_path / "results"
+    outdir.mkdir()
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), "2", str(port), str(outdir)],
+            env=env,
+            cwd=REPO,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"ppo worker failed:\n{out[-3000:]}"
+
+    z0 = np.load(outdir / "ppo0.npz")
+    z1 = np.load(outdir / "ppo1.npz")
+    n_leaves = len([k for k in z0.files if k.startswith("leaf_")])
+    assert n_leaves > 0
+    changed = False
+    for i in range(n_leaves):
+        # both hosts computed the SAME update (gradient all-reduce agreed)
+        np.testing.assert_array_equal(
+            z0[f"leaf_{i}"], z1[f"leaf_{i}"], err_msg=f"leaf {i}"
+        )
+        changed = changed or not np.array_equal(
+            z0[f"leaf_{i}"], z0[f"init_{i}"]
+        )
+    assert changed, "train step must actually update the params"
+    assert z0["reward_mean"] == z1["reward_mean"]
 
 
 def test_two_process_sharded_rollout_matches_single_process(tmp_path):

@@ -184,6 +184,36 @@ def test_engine_param_validation():
     assert "backend" in ok()
 
 
+def test_simulate_pallas_multidevice_interpret():
+    """The pallas engine's multi-device branch: _simulate_pallas shards the
+    kernel over the 8 virtual CPU devices under shard_map (interpret mode)
+    and returns a well-formed cohort frame — the engine-level integration
+    of make_sharded_pallas_rollout."""
+    import jax
+
+    from simglucose_tpu.sim.engine import _simulate_pallas
+
+    assert jax.device_count() == 8
+    names = ["adolescent#001", "adult#003", "child#005"]
+    df = _simulate_pallas(
+        names,
+        "Dexcom",
+        "Insulet",
+        "PID",
+        n_steps=2,
+        start_min=0,
+        random_init_bg=False,
+        seed=3,
+        start_time=datetime(2018, 1, 1),
+        interpret=True,
+    )
+    assert set(df.index.get_level_values(0)) == set(names)
+    sub = df.loc["adolescent#001"]
+    assert len(sub) == 3  # reset row + 2 steps
+    assert np.isfinite(sub.BG.to_numpy()).all()
+    assert (sub.CGM.to_numpy() > 0).all()
+
+
 def test_engine_auto_small_cohort_uses_xla():
     df = simulate(
         sim_time=timedelta(hours=1),
