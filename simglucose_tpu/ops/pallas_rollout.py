@@ -114,6 +114,19 @@ class PallasRolloutConfig:
     # stochastic law, works in CPU interpret mode, so the stochastic kernel
     # path has CI coverage (tests/test_pallas_rollout.py).
     prng: str = "hw"
+    # Rare-path sampling cadence: the day-rollover meal-plan redraw and the
+    # auto-reset value draw run only on every regen_every-th unrolled step
+    # instead of branchlessly every step (they are ~half the per-step
+    # transcendental budget).  Deferring a midnight redraw is OBSERVATIONALLY
+    # EXACT for up to 288 simulated minutes: meal-slot times all lie at
+    # >= 300 min-of-day (reference scenario_gen.py:39, breakfast lower bound
+    # 5 am), so neither the outgoing nor the incoming plan can fire during
+    # the deferral window.  Reset draws are cached per lane at the same
+    # cadence; a lane terminating twice within one window reuses its cached
+    # draw (episodes ~125 steps at the default laws vs a window of
+    # regen_every steps — negligible correlation).  Constraint:
+    # regen_every * sample_time <= 288.  Set to 1 to restore per-step draws.
+    regen_every: int = 8
     # exogenous_noise=True: CGM noise comes from caller-supplied planes
     # (reset_noise [2, rows, 128] + step_noise [n_steps, rows, 128]) indexed
     # exactly like the env path's EnvParams.noise_seq (devices/cgm.py) — 2
@@ -393,10 +406,12 @@ def _risk_of(bg):
 #      except at episode start, where the env's reset draws TWO noise pops:
 #      the history sample feeds the reward window and the obs sample feeds
 #      the controller, env.py:126,142)
-NS_F = 41
+#   41..53 cached reset ODE states  54 cached reset e  55..58 cached reset
+#      lattice (the auto-reset draw refreshed every regen_every steps)
+NS_F = 59
 #   int planes: 0 t_min (episode minutes)  1 start_min  2 day  3 seg
-#   4 lattice_next  5 sample_count
-NS_I = 6
+#   4 lattice_next  5 sample_count  6 cached reset start_min
+NS_I = 7
 
 
 def _reset_values(
@@ -555,6 +570,15 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
             is_[3] = jnp.zeros(shape, jnp.int32)  # seg
             is_[4] = jnp.full(shape, 3, jnp.int32)  # lattice_next
             is_[5] = jnp.zeros(shape, jnp.int32)  # sample_count (0 used at reset)
+            # seed the auto-reset draw cache (refreshed every regen_every
+            # steps in the step loop)
+            rc = _reset_values(cfg, rng, x0, shape, with_plan=False)
+            for i in range(13):
+                fs[41 + i] = rc["xs"][i]
+            fs[54] = rc["e"]
+            for i in range(4):
+                fs[55 + i] = rc["lat"][i]
+            is_[6] = rc["start_min"]
 
         # ---- load state ----
         xs = tuple(fs[i] for i in range(13))
@@ -568,6 +592,10 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
         prev_cgm = fs[38]
         prev_cho = fs[39]
         ctrl_prev = fs[40]
+        cache_xs = tuple(fs[41 + i] for i in range(13))
+        cache_e = fs[54]
+        cache_lat = [fs[55 + i] for i in range(4)]
+        cache_start = is_[6]
         t_min = is_[0]
         start_min = is_[1]
         day = is_[2]
@@ -613,8 +641,11 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
                     cfg.max_basal,
                 )
 
-            # ---- scenario: candidate next-day plan + per-minute lookup ----
-            if not cfg.deterministic:
+            # ---- scenario: candidate next-day plan + per-minute lookup.
+            # The redraw runs only at the regen_every cadence — a deferred
+            # midnight regen is observationally exact because no meal slot
+            # can fire before 5 am (see PallasRolloutConfig.regen_every) ----
+            if not cfg.deterministic and i_step % cfg.regen_every == 0:
                 mins_last = start_min + t_min + (st - 1)
                 day_end = mins_last // MINUTES_PER_DAY
                 regen = (day_end > day).astype(jnp.float32)
@@ -623,6 +654,13 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
                     meal_t[s] = regen * new_t[s] + (1.0 - regen) * meal_t[s]
                     meal_a[s] = regen * new_a[s] + (1.0 - regen) * meal_a[s]
                 day = jnp.maximum(day, day_end)
+                # refresh the auto-reset draw cache at the same cadence
+                if cfg.autoreset:
+                    rc = _reset_values(cfg, rng, x0, shape, with_plan=False)
+                    cache_xs = rc["xs"]
+                    cache_e = rc["e"]
+                    cache_lat = rc["lat"]
+                    cache_start = rc["start_min"]
 
             CHO_acc = jnp.zeros(shape, jnp.float32)
             BG_acc = jnp.zeros(shape, jnp.float32)
@@ -743,29 +781,32 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
             prev_cho = CHO_acc
             ctrl_prev = CGM_acc
 
-            # ---- auto-reset (rollout.py autoreset_step semantics) ----
+            # ---- auto-reset (rollout.py autoreset_step semantics); reset
+            # values come from the per-lane draw cache (refreshed every
+            # regen_every steps above) ----
             if not cfg.deterministic and cfg.autoreset:
-                r = _reset_values(cfg, rng, x0, shape, with_plan=False)
-                bg0 = r["xs"][12] / p.Vg
+                bg0 = cache_xs[12] / p.Vg
                 # Catmull-Rom at tau=0 is exactly lat[1]
-                cgm0 = jnp.clip(bg0 + r["lat"][1], cfg.cgm_min, cfg.cgm_max)
+                cgm0 = jnp.clip(
+                    bg0 + cache_lat[1], cfg.cgm_min, cfg.cgm_max
+                )
                 keep = 1.0 - donef
 
                 def mix(old, new):
                     return keep * old + donef * new
 
-                xs = tuple(mix(x, xn) for x, xn in zip(xs, r["xs"]))
-                planned = mix(planned, r["planned"])
-                last_CHO = mix(last_CHO, r["last_CHO"])
-                eating = mix(eating, r["eating"])
-                last_Qsto = mix(last_Qsto, r["last_Qsto"])
-                foodtaken = mix(foodtaken, r["foodtaken"])
+                xs = tuple(mix(x, xn) for x, xn in zip(xs, cache_xs))
+                planned = keep * planned
+                last_CHO = keep * last_CHO
+                eating = keep * eating
+                last_Qsto = mix(last_Qsto, cache_xs[0] + cache_xs[1])
+                foodtaken = keep * foodtaken
                 last_CGM = mix(last_CGM, cgm0)
-                e_ar = mix(e_ar, r["e"])
-                lat = [mix(l, ln) for l, ln in zip(lat, r["lat"])]
+                e_ar = mix(e_ar, cache_e)
+                lat = [mix(l, ln) for l, ln in zip(lat, cache_lat)]
                 # meal plan kept (i.i.d. across episodes — see _reset_values)
-                pid_integ = mix(pid_integ, r["pid_integ"])
-                pid_prev = mix(pid_prev, r["pid_prev"])
+                pid_integ = keep * pid_integ
+                pid_prev = keep * pid_prev
                 prev_cgm = mix(prev_cgm, cgm0)
                 # the next controller invocation sees the NEW episode's reset
                 # obs (autoreset_step carry semantics, envs/rollout.py)
@@ -774,7 +815,7 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
                 keep_i = (1 - done).astype(jnp.int32)
                 done_i = done.astype(jnp.int32)
                 t_min = keep_i * t_min  # reset episode clock to 0
-                start_min = keep_i * start_min + done_i * r["start_min"]
+                start_min = keep_i * start_min + done_i * cache_start
                 day = keep_i * day
                 seg = keep_i * seg
                 lat_next = keep_i * lat_next + done_i * 3
@@ -795,8 +836,14 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
         fs[38] = prev_cgm
         fs[39] = prev_cho
         fs[40] = ctrl_prev
+        for i in range(13):
+            fs[41 + i] = cache_xs[i]
+        fs[54] = cache_e
+        for i in range(4):
+            fs[55 + i] = cache_lat[i]
         is_[0], is_[1], is_[2] = t_min, start_min, day
         is_[3], is_[4], is_[5] = seg, lat_next, n_samp
+        is_[6] = cache_start
 
     return kernel
 
@@ -826,6 +873,12 @@ def make_pallas_rollout(cfg: PallasRolloutConfig, batch: int, interpret: bool = 
         )
     if cfg.prng not in ("hw", "sw"):
         raise ValueError(f"prng must be 'hw' or 'sw'; got {cfg.prng!r}")
+    if cfg.regen_every < 1 or cfg.regen_every * cfg.sample_time > 288:
+        raise ValueError(
+            f"regen_every={cfg.regen_every} must satisfy 1 <= regen_every "
+            f"and regen_every * sample_time <= 288 (the pre-5am window that "
+            f"makes deferred midnight redraws observationally exact)"
+        )
     n_blocks = batch // block
     n_tchunks = cfg.n_steps // cfg.t_chunk
     rows = batch // LANES

@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Benchmark the pallas in-VMEM rollout kernel on the real TPU.
 
-Usage: python tools/bench_pallas.py [B] [T] [block_rows] [t_chunk]
+Usage: python tools/bench_pallas.py [B] [T] [block_rows] [t_chunk] [regen_every]
 Prints env-steps/s with the same hard host-fetch barrier bench.py uses.
 """
 import os
@@ -31,6 +31,7 @@ def main():
     T = args[1] if len(args) > 1 else 256
     block_rows = args[2] if len(args) > 2 else 32
     t_chunk = args[3] if len(args) > 3 else 32
+    regen_every = args[4] if len(args) > 4 else 8
     n_calls = int(os.environ.get("N_CALLS", "24"))
 
     _, params = make_env(cohort_names(B), batch=True, dtype=np.float32)
@@ -38,7 +39,8 @@ def main():
     packed = jax.device_put(packed)
 
     pcfg = PallasRolloutConfig(
-        n_steps=T, block_rows=block_rows, t_chunk=t_chunk, controller="pid"
+        n_steps=T, block_rows=block_rows, t_chunk=t_chunk, controller="pid",
+        regen_every=regen_every,
     )
     run = jax.jit(make_pallas_rollout(pcfg, B), static_argnums=())
 
@@ -54,7 +56,7 @@ def main():
     assert np.isfinite(final).all(), "non-finite rewards"
     sps = B * T * n_calls / (toc - tic)
     print(
-        f"pallas B={B} T={T} R={block_rows} TC={t_chunk}: "
+        f"pallas B={B} T={T} R={block_rows} TC={t_chunk} K={regen_every}: "
         f"{sps / 1e6:.2f}M env-steps/s"
     )
 
