@@ -408,7 +408,11 @@ def _risk_of(bg):
 #      the controller, env.py:126,142)
 #   41..53 cached reset ODE states  54 cached reset e  55..58 cached reset
 #      lattice (the auto-reset draw refreshed every regen_every steps)
-NS_F = 59
+#   59 cached reset CGM0  60 cached reset risk0 (derived from the cache —
+#      avoids a clip+log+pow in every step's reset merge)
+#   NOTE plane 38 carries risk(prev CGM), not the CGM itself: risk_diff
+#   reuses the risk already computed when that CGM was produced.
+NS_F = 61
 #   int planes: 0 t_min (episode minutes)  1 start_min  2 day  3 seg
 #   4 lattice_next  5 sample_count  6 cached reset start_min
 NS_I = 7
@@ -558,10 +562,10 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
                 fs[30 + i] = fvals["meal_a"][i]
             fs[36] = fvals["pid_integ"]
             fs[37] = fvals["pid_prev"]
-            # prev CGM = the reset history sample; the first step's reward is
-            # risk(reset CGM) - risk(step CGM), matching env_reset's
+            # prev risk = risk(reset history sample); the first step's reward
+            # is risk(reset CGM) - risk(step CGM), matching env_reset's
             # window = [CGM_hist0] + first-step window_len == 2 (env.py:126,100)
-            fs[38] = cgm_hist0
+            fs[38] = _risk_of(cgm_hist0)
             fs[39] = jnp.zeros(shape, jnp.float32)  # prev_CHO
             fs[40] = cgm_obs0  # the first controller observation
             is_[0] = jnp.zeros(shape, jnp.int32)  # t_min
@@ -578,6 +582,11 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
             fs[54] = rc["e"]
             for i in range(4):
                 fs[55 + i] = rc["lat"][i]
+            rc_cgm0 = jnp.clip(
+                rc["xs"][12] / p.Vg + rc["lat"][1], cfg.cgm_min, cfg.cgm_max
+            )
+            fs[59] = rc_cgm0
+            fs[60] = _risk_of(rc_cgm0)
             is_[6] = rc["start_min"]
 
         # ---- load state ----
@@ -589,12 +598,14 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
         meal_t = [fs[24 + i] for i in range(6)]
         meal_a = [fs[30 + i] for i in range(6)]
         pid_integ, pid_prev = fs[36], fs[37]
-        prev_cgm = fs[38]
+        prev_risk = fs[38]
         prev_cho = fs[39]
         ctrl_prev = fs[40]
         cache_xs = tuple(fs[41 + i] for i in range(13))
         cache_e = fs[54]
         cache_lat = [fs[55 + i] for i in range(4)]
+        cache_cgm0 = fs[59]
+        cache_risk0 = fs[60]
         cache_start = is_[6]
         t_min = is_[0]
         start_min = is_[1]
@@ -661,6 +672,22 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
                     cache_e = rc["e"]
                     cache_lat = rc["lat"]
                     cache_start = rc["start_min"]
+                    cache_cgm0 = jnp.clip(
+                        cache_xs[12] / p.Vg + cache_lat[1],
+                        cfg.cgm_min,
+                        cfg.cgm_max,
+                    )
+                    cache_risk0 = _risk_of(cache_cgm0)
+
+            # one Box-Muller pair serves TWO steps' AR(1) advances (a
+            # fresh lattice point is needed at most once per step, and both
+            # halves of the pair are consumed instead of one)
+            if (
+                not cfg.deterministic
+                and not cfg.exogenous_noise
+                and i_step % 2 == 0
+            ):
+                z_pair = _normal_pair(rng, shape)
 
             CHO_acc = jnp.zeros(shape, jnp.float32)
             BG_acc = jnp.zeros(shape, jnp.float32)
@@ -734,7 +761,7 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
                             jnp.float32
                         ) / MDL_SAMPLE_TIME
                         need = ((k + 2) >= lat_next).astype(jnp.float32)
-                        z, _ = _normal_pair(rng, shape)
+                        z = z_pair[i_step % 2]
                         e_new = cfg.pacf * (e_ar + z)
                         eps_new = _johnson(cfg, e_new)
                         e_ar = need * e_new + (1.0 - need) * e_ar
@@ -764,8 +791,10 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
                 BG_acc = BG_acc + bg_m / float(st)
                 CGM_acc = CGM_acc + cgm_m / float(st)
 
-            # ---- reward / done (env.py:100-103, risk_diff env.py:27-33) ----
-            reward = _risk_of(prev_cgm) - _risk_of(CGM_acc)
+            # ---- reward / done (env.py:100-103, risk_diff env.py:27-33);
+            # risk(prev CGM) is carried from the step that produced it ----
+            risk_now = _risk_of(CGM_acc)
+            reward = prev_risk - risk_now
             done = (BG_acc < cfg.bg_done_low) | (BG_acc > cfg.bg_done_high)
             donef = done.astype(jnp.float32)
 
@@ -777,7 +806,7 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
             cho_out[i_step] = CHO_acc
             ins_out[i_step] = insulin
 
-            prev_cgm = CGM_acc
+            prev_risk = risk_now
             prev_cho = CHO_acc
             ctrl_prev = CGM_acc
 
@@ -785,11 +814,7 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
             # values come from the per-lane draw cache (refreshed every
             # regen_every steps above) ----
             if not cfg.deterministic and cfg.autoreset:
-                bg0 = cache_xs[12] / p.Vg
-                # Catmull-Rom at tau=0 is exactly lat[1]
-                cgm0 = jnp.clip(
-                    bg0 + cache_lat[1], cfg.cgm_min, cfg.cgm_max
-                )
+                cgm0 = cache_cgm0  # derived once at the cache refresh
                 keep = 1.0 - donef
 
                 def mix(old, new):
@@ -807,7 +832,7 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
                 # meal plan kept (i.i.d. across episodes — see _reset_values)
                 pid_integ = keep * pid_integ
                 pid_prev = keep * pid_prev
-                prev_cgm = mix(prev_cgm, cgm0)
+                prev_risk = mix(prev_risk, cache_risk0)
                 # the next controller invocation sees the NEW episode's reset
                 # obs (autoreset_step carry semantics, envs/rollout.py)
                 ctrl_prev = mix(ctrl_prev, cgm0)
@@ -833,7 +858,7 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
             fs[24 + i] = meal_t[i]
             fs[30 + i] = meal_a[i]
         fs[36], fs[37] = pid_integ, pid_prev
-        fs[38] = prev_cgm
+        fs[38] = prev_risk
         fs[39] = prev_cho
         fs[40] = ctrl_prev
         for i in range(13):
@@ -841,6 +866,8 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
         fs[54] = cache_e
         for i in range(4):
             fs[55 + i] = cache_lat[i]
+        fs[59] = cache_cgm0
+        fs[60] = cache_risk0
         is_[0], is_[1], is_[2] = t_min, start_min, day
         is_[3], is_[4], is_[5] = seg, lat_next, n_samp
         is_[6] = cache_start
