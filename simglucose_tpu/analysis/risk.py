@@ -52,6 +52,20 @@ def risk_scalar(BG: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]
     return LBGI, HBGI, LBGI + HBGI
 
 
+def neg_risk_reward(cgm_window: jnp.ndarray, window_len: jnp.ndarray) -> jnp.ndarray:
+    """Dense alternative reward: -RI(CGM[t]) / 10.
+
+    The default ``risk_diff_reward`` telescopes within an episode (the sum
+    of diffs is risk[0] - risk[T]), which makes its per-step signal nearly
+    zero-mean and hard for small-scale RL; the absolute-risk form is a
+    stationary dense objective with the same optimum (CGM near the
+    risk-minimizing ~112 mg/dL).  The reference exposes exactly this kind
+    of pluggable reward through ``reward_fun``
+    (reference: simulation/env.py:100-102, examples/custom_reward.py)."""
+    _, _, r_now = risk_scalar(cgm_window[..., -1])
+    return -r_now / 10.0
+
+
 def risk_diff_reward(cgm_window: jnp.ndarray, window_len: jnp.ndarray) -> jnp.ndarray:
     """Default reward: risk(CGM[t-1]) - risk(CGM[t])
     (reference: simulation/env.py:27-33).  ``cgm_window`` is chronological;

@@ -80,8 +80,23 @@ class PallasRolloutConfig:
     inc_bolus: float = 0.05
     min_bolus: float = 0.0
     max_bolus: float = 30.0
-    # controller: 'pid' | 'bb' | 'const'
+    # controller: 'pid' | 'bb' | 'const' | 'nn'.  'nn' runs the Gaussian
+    # MLP policy of rl/policy.py INSIDE the kernel (relu trunk, matmuls on
+    # the MXU, action sampling from the in-kernel PRNG) — the pallas-fused
+    # PPO actor (rl/fused.py).  Weights arrive as an extra input built by
+    # :func:`pack_policy_weights`; the kernel additionally outputs the raw
+    # pre-squash action and the controller's observation inputs so the
+    # learner can recompute logp/value outside (one batched XLA forward).
     controller: str = "pid"
+    nn_hidden: int = 64  # MLP width ('nn' controller); 64 or 128
+    nn_action_scale: float = 0.2  # basal = sigmoid(raw) * scale (policy.py)
+    # persistent_state=True: the full simulator state streams in/out of the
+    # kernel as HBM arrays instead of living in per-call scratch, so
+    # consecutive calls CONTINUE episodes (the PPO trainer's env-state carry
+    # across iterations).  run() then takes (state_f, state_i, init) and
+    # returns them updated; init=1 ignores the incoming state and draws
+    # fresh episodes.
+    persistent_state: bool = False
     pid_p: float = -1e-4
     pid_i: float = -1e-7
     pid_d: float = 0.0
@@ -176,6 +191,27 @@ def pack_params(
     if B % LANES:
         raise ValueError(f"batch {B} must be a multiple of {LANES}")
     return flat.reshape(NP_PLANES, B // LANES, LANES)
+
+
+def pack_policy_weights(params) -> jnp.ndarray:
+    """PolicyParams (rl/policy.py) -> one [H, H+16] f32 buffer for the
+    kernel's 'nn' controller.
+
+    Column layout (H = hidden width): [0:4] w1^T | [4] b1 | [5] w_mu |
+    [6] rows 0/1 = (b_mu, log_std) | [8:8+H] w2^T | [8+H] b2.  The value
+    head (w_v/b_v) is NOT shipped: the kernel only needs the policy mean —
+    values and log-probs are recomputed by the learner in one batched XLA
+    forward pass over the rollout's observation outputs."""
+    H = params.b1.shape[0]
+    buf = jnp.zeros((H, H + 16), jnp.float32)
+    buf = buf.at[:, 0:4].set(params.w1.T.astype(jnp.float32))
+    buf = buf.at[:, 4].set(params.b1.astype(jnp.float32))
+    buf = buf.at[:, 5].set(params.w_mu[:, 0].astype(jnp.float32))
+    buf = buf.at[0, 6].set(params.b_mu[0].astype(jnp.float32))
+    buf = buf.at[1, 6].set(params.log_std[0].astype(jnp.float32))
+    buf = buf.at[:, 8:8 + H].set(params.w2.T.astype(jnp.float32))
+    buf = buf.at[:, 8 + H].set(params.b2.astype(jnp.float32))
+    return buf
 
 
 def _unpack_params(pref, rs: slice) -> tuple:
@@ -410,9 +446,12 @@ def _risk_of(bg):
 #      lattice (the auto-reset draw refreshed every regen_every steps)
 #   59 cached reset CGM0  60 cached reset risk0 (derived from the cache —
 #      avoids a clip+log+pow in every step's reset merge)
+#   61 ins_prev — the previous step's delivered insulin (the 'nn'
+#      controller's tanh(insulin) observation feature, rl/policy.py
+#      featurize; zeroed on reset like the autoreset carry's StepResult)
 #   NOTE plane 38 carries risk(prev CGM), not the CGM itself: risk_diff
 #   reuses the risk already computed when that CGM was produced.
-NS_F = 61
+NS_F = 62
 #   int planes: 0 t_min (episode minutes)  1 start_min  2 day  3 seg
 #   4 lattice_next  5 sample_count  6 cached reset start_min
 NS_I = 7
@@ -497,14 +536,35 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
     shape = (R, LANES)
     n_tchunks = cfg.n_steps // TC
 
+    nn = cfg.controller == "nn"
+
     def kernel(*refs):
+        # inputs: seed, params, [wnn], [rnoise, noise], [state_f, state_i]
+        # outputs: 6 traj planes, [raw/octrl/oins/ocho], rst,
+        #          [state_f_out, state_i_out]  (persistent) | scratch fs/is_
+        k = 2
+        seed_ref, pref = refs[0], refs[1]
+        wnn_ref = rnoise_ref = noise_ref = None
+        sf_in = si_in = None
+        if nn:
+            wnn_ref = refs[k]
+            k += 1
         if cfg.exogenous_noise:
-            (seed_ref, pref, rnoise_ref, noise_ref, cgm_out, bg_out,
-             rew_out, done_out, cho_out, ins_out, rst_out, fs, is_) = refs
-        else:
-            (seed_ref, pref, cgm_out, bg_out, rew_out, done_out,
-             cho_out, ins_out, rst_out, fs, is_) = refs
-            rnoise_ref = noise_ref = None
+            rnoise_ref, noise_ref = refs[k], refs[k + 1]
+            k += 2
+        if cfg.persistent_state:
+            sf_in, si_in = refs[k], refs[k + 1]
+            k += 2
+        cgm_out, bg_out, rew_out, done_out, cho_out, ins_out = refs[k:k + 6]
+        k += 6
+        raw_out = octrl_out = oins_out = ocho_out = None
+        if nn:
+            raw_out, octrl_out, oins_out, ocho_out = refs[k:k + 4]
+            k += 4
+        rst_out = refs[k]
+        # persistent: the state OUTPUT refs are the working state; scratch
+        # otherwise — either way the tail two refs
+        fs, is_ = refs[k + 1], refs[k + 2]
         b = pl.program_id(0)
         t = pl.program_id(1)
         if cfg.deterministic:
@@ -522,7 +582,21 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
             pref, slice(None)
         )
 
-        @pl.when(t == 0)
+        if cfg.persistent_state:
+            # continue prior episodes: pull the incoming state into the
+            # working (output) refs, unless this is the init call
+            @pl.when(jnp.logical_and(t == 0, seed_ref[1] == 0))
+            def _carry_in():
+                for i in range(NS_F):
+                    fs[i] = sf_in[i]
+                for i in range(NS_I):
+                    is_[i] = si_in[i]
+
+            init_cond = jnp.logical_and(t == 0, seed_ref[1] == 1)
+        else:
+            init_cond = t == 0
+
+        @pl.when(init_cond)
         def _init():
             fvals = _reset_values(cfg, rng, x0, shape)
             for i in range(13):
@@ -568,6 +642,7 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
             fs[38] = _risk_of(cgm_hist0)
             fs[39] = jnp.zeros(shape, jnp.float32)  # prev_CHO
             fs[40] = cgm_obs0  # the first controller observation
+            fs[61] = jnp.zeros(shape, jnp.float32)  # ins_prev
             is_[0] = jnp.zeros(shape, jnp.int32)  # t_min
             is_[1] = fvals["start_min"]
             is_[2] = jnp.zeros(shape, jnp.int32)  # day
@@ -601,6 +676,7 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
         prev_risk = fs[38]
         prev_cho = fs[39]
         ctrl_prev = fs[40]
+        ins_prev = fs[61]
         cache_xs = tuple(fs[41 + i] for i in range(13))
         cache_e = fs[54]
         cache_lat = [fs[55 + i] for i in range(4)]
@@ -617,7 +693,62 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
         for i_step in range(TC):
             # ---- controller acts on the previous step's CGM observation,
             # exactly like the closed loop (sim_engine.py:33-37) ----
-            if cfg.controller == "pid":
+            if nn:
+                # record the controller's observation inputs FIRST (the
+                # learner reconstructs featurize() from these to recompute
+                # logp/value outside the kernel)
+                octrl_out[i_step] = ctrl_prev
+                oins_out[i_step] = ins_prev
+                ocho_out[i_step] = prev_cho
+                H = cfg.nn_hidden
+                w1t = wnn_ref[:, 0:4]  # [H, 4]
+                b1 = wnn_ref[:, 4:5]  # [H, 1]
+                wmu = wnn_ref[:, 5:6]  # [H, 1]
+                bmu = wnn_ref[0:1, 6:7]  # [1, 1] -> broadcasts
+                log_std = wnn_ref[1:2, 6:7]  # [1, 1]
+                w2t = wnn_ref[:, 8:8 + H]  # [H, H]
+                b2 = wnn_ref[:, 8 + H:9 + H]  # [H, 1]
+                # featurize (rl/policy.py): [cgm/400, (cgm-140)/100,
+                # tanh(ins), tanh(cho/10)]
+                f1 = ctrl_prev * (1.0 / 400.0)
+                f2 = (ctrl_prev - 140.0) * 0.01
+                f3 = jnp.tanh(ins_prev)
+                f4 = jnp.tanh(prev_cho * 0.1)
+                # relu MLP, one [H,4]@[4,128] + [H,H]@[H,128] MXU pair per
+                # sublane row (lanes = patients, sublanes = hidden units)
+                mu_rows = []
+                for r in range(R):
+                    obs_r = jnp.stack(
+                        [f1[r], f2[r], f3[r], f4[r]], axis=0
+                    )  # [4, 128]
+                    h = jnp.maximum(
+                        jnp.dot(
+                            w1t, obs_r, preferred_element_type=jnp.float32
+                        ) + b1,
+                        0.0,
+                    )
+                    h = jnp.maximum(
+                        jnp.dot(
+                            w2t, h, preferred_element_type=jnp.float32
+                        ) + b2,
+                        0.0,
+                    )
+                    mu_rows.append(jnp.sum(h * wmu, axis=0, keepdims=True))
+                mu = jnp.concatenate(mu_rows, axis=0) + bmu  # [R, 128]
+                if cfg.deterministic:
+                    raw = mu
+                else:
+                    if i_step % 2 == 0:
+                        za_pair = _normal_pair(rng, shape)
+                    raw = mu + jnp.exp(log_std) * za_pair[i_step % 2]
+                raw_out[i_step] = raw
+                # squashed Gaussian -> basal (rl/policy.py sample_action),
+                # then pump quantization (actuator/pump.py:32-39)
+                basal_cmd = cfg.nn_action_scale / (1.0 + jnp.exp(-raw))
+                insulin = _quantize(
+                    basal_cmd, cfg.inc_basal, cfg.min_basal, cfg.max_basal
+                )
+            elif cfg.controller == "pid":
                 obs = ctrl_prev
                 control = (
                     cfg.pid_p * (obs - cfg.pid_target)
@@ -809,6 +940,7 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
             prev_risk = risk_now
             prev_cho = CHO_acc
             ctrl_prev = CGM_acc
+            ins_prev = insulin
 
             # ---- auto-reset (rollout.py autoreset_step semantics); reset
             # values come from the per-lane draw cache (refreshed every
@@ -837,6 +969,7 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
                 # obs (autoreset_step carry semantics, envs/rollout.py)
                 ctrl_prev = mix(ctrl_prev, cgm0)
                 prev_cho = keep * prev_cho  # fresh episode: no announced meal
+                ins_prev = keep * ins_prev  # reset carry has insulin = 0
                 keep_i = (1 - done).astype(jnp.int32)
                 done_i = done.astype(jnp.int32)
                 t_min = keep_i * t_min  # reset episode clock to 0
@@ -845,6 +978,15 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
                 seg = keep_i * seg
                 lat_next = keep_i * lat_next + done_i * 3
                 n_samp = keep_i * n_samp
+
+        if nn:
+            # bootstrap row: the obs the NEXT step would act on, for the
+            # learner's GAE tail value (rst rows 2..4)
+            @pl.when(t == n_tchunks - 1)
+            def _tail_obs():
+                rst_out[2] = ctrl_prev
+                rst_out[3] = ins_prev
+                rst_out[4] = prev_cho
 
         # ---- store state back ----
         for i in range(13):
@@ -868,6 +1010,7 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
             fs[55 + i] = cache_lat[i]
         fs[59] = cache_cgm0
         fs[60] = cache_risk0
+        fs[61] = ins_prev
         is_[0], is_[1], is_[2] = t_min, start_min, day
         is_[3], is_[4], is_[5] = seg, lat_next, n_samp
         is_[6] = cache_start
@@ -900,6 +1043,11 @@ def make_pallas_rollout(cfg: PallasRolloutConfig, batch: int, interpret: bool = 
         )
     if cfg.prng not in ("hw", "sw"):
         raise ValueError(f"prng must be 'hw' or 'sw'; got {cfg.prng!r}")
+    if cfg.controller == "nn" and cfg.exogenous_noise:
+        raise ValueError("the 'nn' controller does not support exogenous "
+                         "noise planes (use deterministic mode for parity)")
+    if cfg.nn_hidden % 8:
+        raise ValueError("nn_hidden must be a multiple of 8 (sublane tile)")
     if cfg.regen_every < 1 or cfg.regen_every * cfg.sample_time > 288:
         raise ValueError(
             f"regen_every={cfg.regen_every} must satisfy 1 <= regen_every "
@@ -913,23 +1061,40 @@ def make_pallas_rollout(cfg: PallasRolloutConfig, batch: int, interpret: bool = 
     kernel = _make_kernel(cfg, n_blocks)
     TC = cfg.t_chunk
 
+    nn = cfg.controller == "nn"
+    n_rst = 5 if nn else 2
     out_field = jax.ShapeDtypeStruct((cfg.n_steps, rows, LANES), jnp.float32)
     traj_spec = pl.BlockSpec(
         (TC, R, LANES), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM
     )
-    rst_field = jax.ShapeDtypeStruct((2, rows, LANES), jnp.float32)
+    rst_field = jax.ShapeDtypeStruct((n_rst, rows, LANES), jnp.float32)
     rst_spec = pl.BlockSpec(
-        (2, R, LANES), lambda b, t: (0, b, 0), memory_space=pltpu.VMEM
+        (n_rst, R, LANES), lambda b, t: (0, b, 0), memory_space=pltpu.VMEM
+    )
+    state_f_field = jax.ShapeDtypeStruct((NS_F, rows, LANES), jnp.float32)
+    state_i_field = jax.ShapeDtypeStruct((NS_I, rows, LANES), jnp.int32)
+    state_f_spec = pl.BlockSpec(
+        (NS_F, R, LANES), lambda b, t: (0, b, 0), memory_space=pltpu.VMEM
+    )
+    state_i_spec = pl.BlockSpec(
+        (NS_I, R, LANES), lambda b, t: (0, b, 0), memory_space=pltpu.VMEM
     )
 
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # seed
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # (seed, init)
         pl.BlockSpec(
             (NP_PLANES, R, LANES),
             lambda b, t: (0, b, 0),
             memory_space=pltpu.VMEM,
         ),
     ]
+    if nn:
+        H = cfg.nn_hidden
+        in_specs.append(
+            pl.BlockSpec(
+                (H, H + 16), lambda b, t: (0, 0), memory_space=pltpu.VMEM
+            )
+        )
     if cfg.exogenous_noise:
         in_specs += [
             pl.BlockSpec(  # reset noise: both pops, every grid step
@@ -939,47 +1104,106 @@ def make_pallas_rollout(cfg: PallasRolloutConfig, batch: int, interpret: bool = 
                 (TC, R, LANES), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM
             ),
         ]
+    if cfg.persistent_state:
+        in_specs += [state_f_spec, state_i_spec]
+
+    n_traj = 10 if nn else 6
+    out_shape = [out_field] * n_traj + [rst_field]
+    out_specs = [traj_spec] * n_traj + [rst_spec]
+    scratch = []
+    if cfg.persistent_state:
+        out_shape += [state_f_field, state_i_field]
+        out_specs += [state_f_spec, state_i_spec]
+    else:
+        scratch = [
+            pltpu.VMEM((NS_F, R, LANES), jnp.float32),
+            pltpu.VMEM((NS_I, R, LANES), jnp.int32),
+        ]
 
     call = pl.pallas_call(
         kernel,
         grid=(n_blocks, n_tchunks),
         in_specs=in_specs,
-        out_shape=[out_field] * 6 + [rst_field],
-        out_specs=[traj_spec] * 6 + [rst_spec],
-        scratch_shapes=[
-            pltpu.VMEM((NS_F, R, LANES), jnp.float32),
-            pltpu.VMEM((NS_I, R, LANES), jnp.int32),
-        ],
+        out_shape=out_shape,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
         interpret=interpret,
     )
 
-    def run(packed_params: jnp.ndarray, seed, reset_noise=None, step_noise=None) -> dict:
-        seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+    def run(
+        packed_params: jnp.ndarray,
+        seed,
+        reset_noise=None,
+        step_noise=None,
+        weights=None,
+        state=None,
+        init=None,
+    ) -> dict:
+        """Run the kernel.  For 'nn' configs pass ``weights`` (from
+        :func:`pack_policy_weights`).  For persistent configs pass
+        ``state=(state_f, state_i)`` (zeros on the first call) and
+        ``init`` (traced int32: 1 = draw fresh episodes and ignore the
+        incoming state, 0 = continue it); the result dict then carries
+        ``state_f``/``state_i`` to thread into the next call.  The reset
+        rows (BG0/CGM0) are only meaningful on init=1 calls."""
+        seed_s = jnp.asarray(seed, jnp.int32).reshape(-1)[0]
+        init_s = (
+            jnp.int32(1) if init is None else jnp.asarray(init, jnp.int32)
+        )
+        seed_arr = jnp.stack([seed_s, init_s])
+        args = [seed_arr, packed_params]
+        if nn:
+            if weights is None:
+                raise ValueError("'nn' config needs weights= "
+                                 "(pack_policy_weights)")
+            args.append(jnp.asarray(weights, jnp.float32))
         if cfg.exogenous_noise:
             if reset_noise is None or step_noise is None:
                 raise ValueError(
                     "exogenous_noise config needs reset_noise [2, rows, 128] "
                     "and step_noise [n_steps, rows, 128]"
                 )
-            cgm, bg, rew, done, cho, ins, rst = call(
-                seed_arr,
-                packed_params,
+            args += [
                 jnp.asarray(reset_noise, jnp.float32),
                 jnp.asarray(step_noise, jnp.float32),
-            )
-        else:
-            cgm, bg, rew, done, cho, ins, rst = call(seed_arr, packed_params)
+            ]
+        if cfg.persistent_state:
+            if state is None:
+                state = (
+                    jnp.zeros((NS_F, rows, LANES), jnp.float32),
+                    jnp.zeros((NS_I, rows, LANES), jnp.int32),
+                )
+            args += [state[0], state[1]]
+        outs = call(*args)
+        cgm, bg, rew, done, cho, ins = outs[:6]
+        k = 6
         unb = lambda a: a.reshape(cfg.n_steps, batch)
-        return {
+        res = {
             "CGM": unb(cgm),
             "BG": unb(bg),
             "reward": unb(rew),
             "done": unb(done) > 0.5,
             "CHO": unb(cho),
             "insulin": unb(ins),
-            "BG0": rst[0].reshape(batch),
-            "CGM0": rst[1].reshape(batch),
         }
+        if nn:
+            res["raw"] = unb(outs[k])
+            res["octrl"] = unb(outs[k + 1])
+            res["oins"] = unb(outs[k + 2])
+            res["ocho"] = unb(outs[k + 3])
+            k += 4
+        rst = outs[k]
+        k += 1
+        res["BG0"] = rst[0].reshape(batch)
+        res["CGM0"] = rst[1].reshape(batch)
+        if nn:
+            # tail observation inputs (bootstrap value for GAE)
+            res["tail_octrl"] = rst[2].reshape(batch)
+            res["tail_oins"] = rst[3].reshape(batch)
+            res["tail_ocho"] = rst[4].reshape(batch)
+        if cfg.persistent_state:
+            res["state_f"], res["state_i"] = outs[k], outs[k + 1]
+        return res
 
     return run
 

@@ -1,0 +1,168 @@
+"""Pallas-fused PPO: the actor rollout (env physics + policy MLP + action
+sampling) runs as ONE in-VMEM TPU kernel; the learner stays in XLA.
+
+The XLA-scan rollout of :func:`simglucose_tpu.rl.ppo.make_train_step` tops
+out ~24M env-steps/s (per-step fusion boundaries); the pallas kernel runs
+the same closed loop >1B steps/s.  This module routes PPO's rollout through
+the kernel's 'nn' controller (ops/pallas_rollout.py): the policy trunk runs
+on the MXU inside the kernel, and the kernel emits — besides the usual
+trajectory planes — the raw pre-squash actions and the controller's
+observation inputs (octrl/oins/ocho).  The learner reconstructs
+``featurize()`` from those planes and recomputes log-probs and values in
+one batched XLA forward pass (cheap: two matmuls over [T*B, 4]), then runs
+the exact same ``_update`` (GAE + epochs of clipped-surrogate minibatches)
+as the XLA-rollout trainer.
+
+Episode state persists ACROSS training iterations (the kernel's
+``persistent_state`` mode streams the full simulator state in/out), so
+episodes are not truncated at rollout_steps — same semantics as the XLA
+trainer's env-state carry.
+
+This is BASELINE config 4 (on-device actor-learner over 8192 patients) at
+kernel speed; the reference analog is rllab DDPG training over the gym env
+(reference: examples/run_rllab.py:1-43, tests/test_rllab.py:13-52).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from simglucose_tpu.ops.pallas_rollout import (
+    NS_F,
+    NS_I,
+    LANES,
+    PallasRolloutConfig,
+    make_pallas_rollout,
+    pack_policy_weights,
+)
+from simglucose_tpu.rl.policy import (
+    PolicyParams,
+    gaussian_logprob,
+    policy_apply,
+)
+from simglucose_tpu.rl.ppo import PPOConfig, Transition, _gae, _update, \
+    make_optimizer
+
+
+class FusedTrainState(NamedTuple):
+    params: PolicyParams
+    opt_state: optax.OptState
+    state_f: jnp.ndarray  # kernel simulator state, [NS_F, rows, 128] f32
+    state_i: jnp.ndarray  # [NS_I, rows, 128] i32
+    init: jnp.ndarray  # i32 scalar: 1 before the first rollout
+    key: jax.Array
+
+
+def init_fused_state(
+    params: PolicyParams, opt_state, batch: int, key: jax.Array
+) -> FusedTrainState:
+    rows = batch // LANES
+    return FusedTrainState(
+        params=params,
+        opt_state=opt_state,
+        state_f=jnp.zeros((NS_F, rows, LANES), jnp.float32),
+        state_i=jnp.zeros((NS_I, rows, LANES), jnp.int32),
+        init=jnp.int32(1),
+        key=key,
+    )
+
+
+def _features(octrl, oins, ocho):
+    """featurize() (rl/policy.py) from the kernel's observation planes."""
+    return jnp.stack(
+        [
+            octrl / 400.0,
+            (octrl - 140.0) / 100.0,
+            jnp.tanh(oins),
+            jnp.tanh(ocho / 10.0),
+        ],
+        axis=-1,
+    )
+
+
+def make_fused_train_step(
+    cfg: PPOConfig,
+    batch: int,
+    sensor: str = "Dexcom",
+    hidden: int = 64,
+    interpret: bool = False,
+    pallas_overrides: Optional[dict] = None,
+):
+    """Build the fused PPO iteration: pallas actor + XLA learner.
+
+    Returns ``train_step(packed_params, ts) -> (ts', metrics)`` where
+    ``packed_params`` comes from :func:`ops.pallas_rollout.pack_params` and
+    ``ts`` is a :class:`FusedTrainState` (see :func:`init_fused_state`).
+    The policy MUST use the relu trunk (``policy_apply(..., act='relu')``)
+    with width ``hidden`` — the kernel runs that exact network.
+    """
+    from simglucose_tpu.ops.pallas_rollout import config_for_sensor
+
+    over = dict(
+        controller="nn",
+        nn_hidden=hidden,
+        nn_action_scale=cfg.action_scale,
+        n_steps=cfg.rollout_steps,
+        persistent_state=True,
+        prng="hw" if not interpret else "sw",
+    )
+    over.update(pallas_overrides or {})
+    pcfg: PallasRolloutConfig = config_for_sensor(sensor, **over)
+    run = make_pallas_rollout(pcfg, batch, interpret=interpret)
+    opt = make_optimizer(cfg)
+
+    def train_step(packed_params: jnp.ndarray, ts: FusedTrainState):
+        key, k_seed = jax.random.split(ts.key)
+        seed = jax.random.randint(k_seed, (), 0, 2**31 - 1, jnp.int32)
+        traj = run(
+            packed_params,
+            seed,
+            weights=pack_policy_weights(ts.params),
+            state=(ts.state_f, ts.state_i),
+            init=ts.init,
+        )
+        # recompute logp/value at the rollout params in one batched forward
+        obs = _features(traj["octrl"], traj["oins"], traj["ocho"])  # [T,B,4]
+        mu, log_std, value = policy_apply(ts.params, obs, act="relu")
+        logp = gaussian_logprob(mu, log_std, traj["raw"])
+        tail_obs = _features(
+            traj["tail_octrl"], traj["tail_oins"], traj["tail_ocho"]
+        )
+        _, _, last_value = policy_apply(ts.params, tail_obs, act="relu")
+
+        done = traj["done"]
+        reward = traj["reward"] - cfg.done_penalty * done.astype(value.dtype)
+        tr = Transition(
+            obs=obs,
+            raw_action=traj["raw"],
+            logp=logp,
+            value=value,
+            reward=reward,
+            done=done,
+        )
+        advs, rets = _gae(cfg, tr, last_value)
+        params, opt_state, key, aux = _update(
+            cfg, opt, ts.params, ts.opt_state, tr, advs, rets, key,
+            mesh=None, act="relu",
+        )
+        metrics = {
+            "reward_mean": reward.mean(),
+            "done_frac": done.mean(),
+            "pg_loss": aux[0].mean(),
+            "v_loss": aux[1].mean(),
+            "entropy": aux[2].mean(),
+        }
+        new_ts = FusedTrainState(
+            params=params,
+            opt_state=opt_state,
+            state_f=traj["state_f"],
+            state_i=traj["state_i"],
+            init=jnp.int32(0),
+            key=key,
+        )
+        return new_ts, metrics
+
+    return train_step

@@ -52,7 +52,13 @@ def init_policy(
     hidden: int = 128,
     dtype=jnp.float32,
     init_log_std: float = -0.5,
+    init_mu_bias: float = 0.0,
 ) -> PolicyParams:
+    """``init_mu_bias`` shifts the initial action distribution: the emitted
+    basal starts near ``sigmoid(init_mu_bias) * action_scale``.  The default
+    0 starts at half the action range; a negative bias (e.g. -2.2 ->
+    ~0.02 U/min at scale 0.2) starts from safe under-insulinization, which
+    is the clinically sensible cold-start for training."""
     k1, k2, k3, k4 = jax.random.split(key, 4)
 
     def he(k, shape):
@@ -64,7 +70,7 @@ def init_policy(
         w2=he(k2, (hidden, hidden)),
         b2=jnp.zeros((hidden,), dtype),
         w_mu=he(k3, (hidden, 1)) * 0.01,
-        b_mu=jnp.zeros((1,), dtype),
+        b_mu=jnp.full((1,), init_mu_bias, dtype),
         log_std=jnp.full((1,), init_log_std, dtype),
         w_v=he(k4, (hidden, 1)),
         b_v=jnp.zeros((1,), dtype),
@@ -92,26 +98,35 @@ def featurize(result) -> jnp.ndarray:
 
 
 def policy_apply(
-    params: PolicyParams, obs: jnp.ndarray, mesh: Optional[Mesh] = None
+    params: PolicyParams,
+    obs: jnp.ndarray,
+    mesh: Optional[Mesh] = None,
+    act: str = "tanh",
 ):
     """Returns (mu, log_std, value) for obs [..., OBS_DIM].
 
     All matmuls carry ``preferred_element_type=float32`` so bf16 params still
     accumulate in f32 on the MXU.
+
+    ``act`` selects the trunk activation: 'tanh' (default) or 'relu'.  The
+    pallas-fused actor (ops/pallas_rollout.py 'nn' controller) uses 'relu' —
+    VPU-cheap inside the kernel — and the learner must apply the SAME
+    function when recomputing logp/value on the rollout observations.
     """
+    f = jnp.tanh if act == "tanh" else lambda x: jnp.maximum(x, 0.0)
 
     def cstr(x, spec):
         if mesh is not None and "tp" in mesh.axis_names:
             return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
         return x
 
-    h = jnp.tanh(
+    h = f(
         cstr(
             jnp.dot(obs, params.w1, preferred_element_type=jnp.float32) + params.b1,
             P("dp", "tp") if obs.ndim == 2 else P("tp"),
         )
     )
-    h = jnp.tanh(
+    h = f(
         jnp.dot(h, params.w2, preferred_element_type=jnp.float32) + params.b2
     )
     mu = jnp.dot(h, params.w_mu, preferred_element_type=jnp.float32) + params.b_mu

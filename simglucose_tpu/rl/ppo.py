@@ -44,6 +44,15 @@ class PPOConfig:
     lr: float = 3e-4
     max_grad_norm: float = 0.5
     max_basal: float = 30.0  # Insulet pump limit (params/pump_params.csv)
+    # minibatch shuffling granularity (rows).  A full random permutation of
+    # T*B rows costs a per-row gather — measured 46 ms of a 73 ms iteration
+    # on v5e (random row gathers are scalar-core driven).  Shuffling
+    # contiguous blocks of `shuffle_block` rows instead makes the gather a
+    # DMA-friendly block copy (~1 ms) while still mixing time steps and
+    # patients across minibatches (a block is 1/64th of one time step's
+    # lanes at B=8192).  Rounded down to a power-of-two divisor of the
+    # minibatch size at trace time.
+    shuffle_block: int = 512
     # upper bound of the policy's basal range (U/min): the squashed Gaussian
     # emits basal in [0, action_scale].  The pump ceiling (30 U/min) is ~500x
     # a therapeutic basal (~0.01-0.06, vpatient u2ss*BW/6000), so exploring
@@ -52,6 +61,12 @@ class PPOConfig:
     # keeping the explored band informative.
     action_scale: float = 0.2
     init_log_std: float = -0.5
+    # subtracted from the step reward when the episode terminates (BG<70 or
+    # BG>350).  With auto-reset, termination respawns the patient at a
+    # healthy BG, so under dense negative rewards a policy can "farm" the
+    # low-risk post-reset steps by dying quickly; an explicit terminal
+    # penalty removes that exploit.  0 preserves the env's raw reward.
+    done_penalty: float = 0.0
 
 
 class TrainState(NamedTuple):
@@ -86,8 +101,10 @@ def _rollout(
     prev_res: StepResult,
     key: jax.Array,
     mesh: Optional[Mesh],
+    reward_fun=None,
 ):
     """Collect rollout_steps transitions from the batched auto-reset env."""
+    step_kwargs = {} if reward_fun is None else {"reward_fun": reward_fun}
 
     def body(carry, _):
         env_state, prev, key = carry
@@ -97,15 +114,16 @@ def _rollout(
             params, obs, k_act, scale=cfg.action_scale, mesh=mesh
         )
         action = CtrlAction(basal=basal, bolus=jnp.zeros_like(basal))
-        env_state, res, carry_res = jax.vmap(partial(autoreset_step, env_cfg))(
-            env_params, env_state, action
-        )
+        env_state, res, carry_res = jax.vmap(
+            partial(autoreset_step, env_cfg, **step_kwargs)
+        )(env_params, env_state, action)
+        reward = res.reward - cfg.done_penalty * res.done.astype(value.dtype)
         tr = Transition(
             obs=obs,
             raw_action=raw,
             logp=logp,
             value=value,
-            reward=res.reward,
+            reward=reward,
             done=res.done,
         )
         # carry the post-reset observation forward: the first action of each
@@ -120,21 +138,28 @@ def _rollout(
 
 
 def _gae(cfg: PPOConfig, traj: Transition, last_value: jnp.ndarray):
-    """Generalized advantage estimation over the [T, B] rollout."""
+    """Generalized advantage estimation over the [T, B] rollout.
 
-    def body(carry, tr):
-        adv_next, v_next = carry
-        nonterm = 1.0 - tr.done.astype(tr.value.dtype)
-        delta = tr.reward + cfg.gamma * v_next * nonterm - tr.value
-        adv = delta + cfg.gamma * cfg.lam * nonterm * adv_next
-        return (adv, tr.value), adv
+    The backward recurrence ``adv_t = delta_t + (gamma*lam*nonterm_t) *
+    adv_{t+1}`` is a linear first-order recurrence, so it runs as a
+    parallel ``associative_scan`` over the time axis — log2(T) rounds of
+    full [T, B] elementwise work instead of T sequential [B]-sized kernel
+    launches (the sequential scan was launch-bound: 4.9 ms for T=64,
+    B=8192 on v5e; this form is <1 ms)."""
+    nonterm = 1.0 - traj.done.astype(traj.value.dtype)
+    v_next = jnp.concatenate([traj.value[1:], last_value[None]], axis=0)
+    delta = traj.reward + cfg.gamma * v_next * nonterm - traj.value
+    coef = cfg.gamma * cfg.lam * nonterm
 
-    (_, _), advs = jax.lax.scan(
-        body,
-        (jnp.zeros_like(last_value), last_value),
-        traj,
-        reverse=True,
-    )
+    # composing f_t(x) = d_t + c_t * x.  reverse=True reduces suffixes with
+    # the LATER element on the left, so combine(a, b) must express
+    # "apply a (the later suffix), then b": b ∘ a = (c_b c_a, d_b + c_b d_a)
+    def combine(a, b):
+        ca, da = a
+        cb, db = b
+        return ca * cb, db + cb * da
+
+    _, advs = jax.lax.associative_scan(combine, (coef, delta), reverse=True)
     returns = advs + traj.value
     return advs, returns
 
@@ -144,9 +169,10 @@ def _ppo_loss(
     params: PolicyParams,
     batch,
     mesh: Optional[Mesh],
+    act: str = "tanh",
 ):
     obs, raw, logp_old, adv, ret = batch
-    mu, log_std, value = policy_apply(params, obs, mesh=mesh)
+    mu, log_std, value = policy_apply(params, obs, mesh=mesh, act=act)
     logp = gaussian_logprob(mu, log_std, raw)
     ratio = jnp.exp(logp - logp_old)
     adv_n = (adv - adv.mean()) / (adv.std() + 1e-8)
@@ -159,55 +185,108 @@ def _ppo_loss(
     return loss, (pg_loss, v_loss, entropy)
 
 
+def _update(
+    cfg: PPOConfig,
+    opt,
+    params: PolicyParams,
+    opt_state,
+    traj: Transition,
+    advs: jnp.ndarray,
+    rets: jnp.ndarray,
+    key: jax.Array,
+    mesh: Optional[Mesh],
+    act: str = "tanh",
+):
+    """The PPO learner: epochs x minibatches of clipped-surrogate updates
+    over a [T, B] rollout.  Shared by the XLA-rollout trainer
+    (:func:`make_train_step`) and the pallas-fused trainer (rl/fused.py).
+
+    Minibatches are drawn by BLOCK-granular shuffling of one packed buffer:
+    a full random permutation of T*B rows costs a per-row gather — measured
+    46 ms of a 73 ms iteration on v5e (random row gathers are scalar-core
+    driven) — while permuting contiguous blocks is a DMA-friendly copy
+    (~1 ms) that still mixes time steps and patients across minibatches."""
+    T, B = traj.reward.shape
+    N = T * B
+    obs_dim = traj.obs.shape[-1]
+    packed = jnp.concatenate(
+        [
+            traj.obs.reshape(N, obs_dim),
+            traj.raw_action.reshape(N, 1),
+            traj.logp.reshape(N, 1),
+            advs.reshape(N, 1),
+            rets.reshape(N, 1),
+        ],
+        axis=1,
+    )
+    mb_size = N // cfg.minibatches
+    # keep >=256 blocks so small (CI-scale) runs still mix well; at bench
+    # scale (N=524288) this is the full 512-row block size
+    bs = max(1, min(cfg.shuffle_block, N // 256))
+    while mb_size % bs:
+        bs //= 2
+    n_blocks = N // bs
+
+    def epoch(carry, _):
+        params, opt_state, key = carry
+        key, k_perm = jax.random.split(key)
+        perm = jax.random.permutation(k_perm, n_blocks)
+        shuffled = packed.reshape(n_blocks, bs, obs_dim + 4)[perm]
+        shuffled = shuffled.reshape(N, obs_dim + 4)
+
+        def minibatch(carry, i):
+            params, opt_state = carry
+            rows = jax.lax.dynamic_slice_in_dim(shuffled, i * mb_size, mb_size)
+            mb = (
+                rows[:, :obs_dim],
+                rows[:, obs_dim],
+                rows[:, obs_dim + 1],
+                rows[:, obs_dim + 2],
+                rows[:, obs_dim + 3],
+            )
+            grads, aux = jax.grad(
+                lambda p: _ppo_loss(cfg, p, mb, mesh, act=act), has_aux=True
+            )(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), aux
+
+        (params, opt_state), aux = jax.lax.scan(
+            minibatch, (params, opt_state), jnp.arange(cfg.minibatches)
+        )
+        return (params, opt_state, key), aux
+
+    (params, opt_state, key), aux = jax.lax.scan(
+        epoch, (params, opt_state, key), None, length=cfg.epochs
+    )
+    return params, opt_state, key, aux
+
+
 def make_train_step(
     cfg: PPOConfig,
     env_cfg: EnvConfig,
     mesh: Optional[Mesh] = None,
+    reward_fun=None,
 ):
     """Build the jitted PPO iteration: rollout + GAE + epochs of minibatch
-    updates.  ``env_params`` is a jit argument so it can carry shardings."""
+    updates.  ``env_params`` is a jit argument so it can carry shardings.
+
+    ``reward_fun`` overrides the env's default risk-diff reward for
+    training (the reference's pluggable ``reward_fun`` kwarg,
+    reference: envs/simglucose_gym_env.py:27, simulation/env.py:100-102)."""
     opt = make_optimizer(cfg)
 
     def train_step(env_params: EnvParams, ts: TrainState):
         env_state, last_res, key, traj = _rollout(
             cfg, env_cfg, env_params, ts.params, ts.env_state, ts.prev_res,
-            ts.key, mesh,
+            ts.key, mesh, reward_fun=reward_fun,
         )
         _, _, last_value = policy_apply(
             ts.params, featurize(last_res), mesh=mesh
         )
         advs, rets = _gae(cfg, traj, last_value)
-
-        T, B = traj.reward.shape
-        flat = jax.tree.map(
-            lambda a: a.reshape((T * B,) + a.shape[2:]),
-            (traj.obs, traj.raw_action, traj.logp, advs, rets),
-        )
-
-        def epoch(carry, _):
-            params, opt_state, key = carry
-            key, k_perm = jax.random.split(key)
-            perm = jax.random.permutation(k_perm, T * B)
-            mb_size = (T * B) // cfg.minibatches
-
-            def minibatch(carry, i):
-                params, opt_state = carry
-                idx = jax.lax.dynamic_slice_in_dim(perm, i * mb_size, mb_size)
-                mb = jax.tree.map(lambda a: a[idx], flat)
-                grads, aux = jax.grad(
-                    lambda p: _ppo_loss(cfg, p, mb, mesh), has_aux=True
-                )(params)
-                updates, opt_state = opt.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return (params, opt_state), aux
-
-            (params, opt_state), aux = jax.lax.scan(
-                minibatch, (params, opt_state), jnp.arange(cfg.minibatches)
-            )
-            return (params, opt_state, key), aux
-
-        (params, opt_state, key), aux = jax.lax.scan(
-            epoch, (ts.params, ts.opt_state, key), None, length=cfg.epochs
+        params, opt_state, key, aux = _update(
+            cfg, opt, ts.params, ts.opt_state, traj, advs, rets, key, mesh
         )
         metrics = {
             "reward_mean": traj.reward.mean(),

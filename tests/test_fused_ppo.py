@@ -1,0 +1,167 @@
+"""Pallas-fused PPO actor: the 'nn' kernel controller must reproduce the
+XLA policy-driven env rollout exactly (deterministic config), and the fused
+train step must run end-to-end with persistent episode state.  Runs in
+pallas interpret mode on CPU (the real kernel compiles on TPU)."""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from simglucose_tpu.core.types import CtrlAction
+from simglucose_tpu.envs.build import cohort_names, make_env
+from simglucose_tpu.envs.rollout import autoreset_step, batch_reset
+from simglucose_tpu.models.uva_padova import basal_rate
+from simglucose_tpu.ops.pallas_rollout import (
+    PallasRolloutConfig,
+    make_pallas_rollout,
+    pack_params,
+    pack_policy_weights,
+)
+from simglucose_tpu.rl.policy import featurize, init_policy, policy_apply
+
+B = 128  # one lane row per block for the interpret-mode tests
+H = 16  # small relu trunk keeps interpret tracing fast
+
+
+def _policy(key=0):
+    return init_policy(
+        jax.random.PRNGKey(key), hidden=H, init_log_std=-0.5,
+        init_mu_bias=-1.0,
+    )
+
+
+def test_nn_controller_matches_xla_policy_rollout():
+    """Deterministic config (no noise / static meals / no resets): the
+    kernel's in-VMEM MLP policy (MXU matmuls, packed weights) must drive the
+    env to the SAME trajectory as policy_apply + the XLA env path, and the
+    kernel's raw-action / observation outputs must reconstruct exactly."""
+    names = cohort_names(B)
+    env_params, params = None, None
+    cfg_env, params = make_env(names, batch=True, dtype=np.float32)
+    packed = pack_params(params.patient, basal_rate(params.patient))
+    policy = _policy()
+
+    T = 8
+    meal_times = (3, 10)
+    meal_amounts = (30.0, 25.0)
+    scale = 0.2
+    pcfg = PallasRolloutConfig(
+        n_steps=T, block_rows=1, t_chunk=4, deterministic=True,
+        controller="nn", nn_hidden=H, nn_action_scale=scale,
+        det_meal_times=meal_times, det_meal_amounts=meal_amounts,
+    )
+    run = make_pallas_rollout(pcfg, B, interpret=True)
+    traj_p = run(packed, 0, weights=pack_policy_weights(policy))
+
+    # XLA path: deterministic env + the same policy (mean action, no
+    # sampling), featurize on the autoreset carry exactly like rl/ppo.py
+    meal_seq = np.zeros(T * 3 + 1, np.float32)
+    for t, a in zip(meal_times, meal_amounts):
+        meal_seq[t] = a
+    cfg, eparams = make_env(
+        names,
+        batch=True,
+        dtype=np.float32,
+        scenario_mode="exogenous",
+        meal_seq=meal_seq,
+        noise_seq=np.zeros(T + 4, np.float32),
+        substeps=1,
+        method="rk4",
+    )
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    state, res = batch_reset(cfg, eparams, keys, start_min=0)
+
+    def body(carry, _):
+        s, prev = carry
+        obs = featurize(prev)
+        mu, _, _ = policy_apply(policy, obs, act="relu")
+        basal = jax.nn.sigmoid(mu) * scale
+        s, r, cres = jax.vmap(partial(autoreset_step, cfg))(
+            eparams, s, CtrlAction(basal=basal, bolus=jnp.zeros_like(basal))
+        )
+        return (s, cres), (r, obs, mu)
+
+    (_, _), (traj_e, obs_e, mu_e) = jax.lax.scan(
+        body, (state, res), None, length=T
+    )
+
+    # the kernel's observation planes reconstruct the XLA featurize inputs
+    obs_p = np.stack(
+        [
+            np.asarray(traj_p["octrl"]) / 400.0,
+            (np.asarray(traj_p["octrl"]) - 140.0) / 100.0,
+            np.tanh(np.asarray(traj_p["oins"])),
+            np.tanh(np.asarray(traj_p["ocho"]) / 10.0),
+        ],
+        axis=-1,
+    )
+    np.testing.assert_allclose(obs_p, np.asarray(obs_e), rtol=1e-5, atol=1e-7)
+    # deterministic mode: raw == mu — the in-kernel MLP (MXU, packed
+    # weights) agrees with policy_apply on the same observations
+    np.testing.assert_allclose(
+        np.asarray(traj_p["raw"]), np.asarray(mu_e), rtol=1e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(traj_p["insulin"]), np.asarray(traj_e.insulin), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(traj_p["BG"]), np.asarray(traj_e.BG), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(traj_p["CGM"]), np.asarray(traj_e.CGM), rtol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(traj_p["CHO"]), np.asarray(traj_e.CHO)
+    )
+    # tail obs row = the observation the next step would act on
+    np.testing.assert_allclose(
+        np.asarray(traj_p["tail_octrl"]),
+        np.asarray(traj_e.CGM)[-1],
+        rtol=1e-5,
+    )
+
+
+def test_fused_train_step_runs_and_carries_state():
+    """Stochastic fused iteration (sw PRNG, interpret): metrics finite,
+    params update, and the persistent simulator state threads through —
+    the second iteration continues episodes rather than re-initializing."""
+    from simglucose_tpu.rl.fused import (
+        FusedTrainState,
+        init_fused_state,
+        make_fused_train_step,
+    )
+    from simglucose_tpu.rl.ppo import PPOConfig, make_optimizer
+
+    names = cohort_names(B)
+    _, params = make_env(names, batch=True, dtype=np.float32)
+    packed = pack_params(params.patient, basal_rate(params.patient))
+    policy = _policy(1)
+    cfg = PPOConfig(rollout_steps=8, epochs=1, minibatches=2)
+    ts = init_fused_state(
+        policy, make_optimizer(cfg).init(policy), B, jax.random.PRNGKey(0)
+    )
+    step = make_fused_train_step(
+        cfg, B, hidden=H, interpret=True,
+        pallas_overrides=dict(block_rows=1, t_chunk=4),
+    )
+    ts1, m1 = step(packed, ts)
+    for k, v in m1.items():
+        assert np.isfinite(float(v)), k
+    changed = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(ts.params), jax.tree.leaves(ts1.params))
+    )
+    assert changed
+    assert int(ts1.init) == 0
+    # state planes are live (episode clocks advanced: t_min plane nonzero)
+    assert np.asarray(ts1.state_i[0]).max() > 0
+    t_min_after_1 = np.asarray(ts1.state_i[0]).copy()
+
+    ts2, m2 = step(packed, ts1)
+    assert np.isfinite(float(m2["reward_mean"]))
+    t_min_after_2 = np.asarray(ts2.state_i[0])
+    # episodes CONTINUED: clocks advanced further for (most) lanes rather
+    # than restarting from a fresh init
+    frac_advanced = (t_min_after_2 > t_min_after_1).mean()
+    assert frac_advanced > 0.8, frac_advanced
