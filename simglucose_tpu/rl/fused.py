@@ -57,14 +57,30 @@ class FusedTrainState(NamedTuple):
 
 
 def init_fused_state(
-    params: PolicyParams, opt_state, batch: int, key: jax.Array
+    params: PolicyParams,
+    opt_state,
+    batch: int,
+    key: jax.Array,
+    mesh=None,
+    axis: str = "dp",
 ) -> FusedTrainState:
     rows = batch // LANES
+    state_f = jnp.zeros((NS_F, rows, LANES), jnp.float32)
+    state_i = jnp.zeros((NS_I, rows, LANES), jnp.int32)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        shard = NamedSharding(mesh, P(None, axis, None))
+        rep = NamedSharding(mesh, P())
+        state_f = jax.device_put(state_f, shard)
+        state_i = jax.device_put(state_i, shard)
+        params = jax.device_put(params, rep)
+        opt_state = jax.device_put(opt_state, rep)
     return FusedTrainState(
         params=params,
         opt_state=opt_state,
-        state_f=jnp.zeros((NS_F, rows, LANES), jnp.float32),
-        state_i=jnp.zeros((NS_I, rows, LANES), jnp.int32),
+        state_f=state_f,
+        state_i=state_i,
         init=jnp.int32(1),
         key=key,
     )
@@ -83,6 +99,71 @@ def _features(octrl, oins, ocho):
     )
 
 
+def _make_sharded_nn_run(pcfg, batch, mesh, axis, interpret):
+    """The 'nn' persistent kernel under shard_map over the mesh's patient
+    axis: one kernel per device, weights replicated, simulator state and
+    trajectories sharded, per-device PRNG streams decorrelated by mesh
+    position (multi-chip analog: reference sim_engine.py:65-76 process
+    pool; the learner's gradient all-reduce happens downstream in GSPMD —
+    BASELINE config 5)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = mesh.shape[axis]
+    if batch % (n_dev * LANES):
+        raise ValueError(
+            f"global batch {batch} must divide into {n_dev} devices x "
+            f"{LANES} lanes"
+        )
+    per = batch // n_dev
+    inner = make_pallas_rollout(pcfg, per, interpret=interpret)
+
+    def device_fn(packed, seed, wnn, sf, si, init):
+        dseed = seed + jax.lax.axis_index(axis) * jnp.int32(7919)
+        return inner(
+            packed, dseed, weights=wnn, state=(sf, si), init=init
+        )
+
+    out_specs = {
+        k: P(None, axis)
+        for k in (
+            "CGM", "BG", "reward", "done", "CHO", "insulin",
+            "raw", "octrl", "oins", "ocho",
+        )
+    }
+    for k in ("BG0", "CGM0", "tail_octrl", "tail_oins", "tail_ocho"):
+        out_specs[k] = P(axis)
+    out_specs["state_f"] = P(None, axis, None)
+    out_specs["state_i"] = P(None, axis, None)
+
+    sharded = shard_map(
+        device_fn,
+        mesh=mesh,
+        in_specs=(
+            P(None, axis, None),  # packed params
+            P(),  # seed
+            P(),  # weights (replicated)
+            P(None, axis, None),  # state_f
+            P(None, axis, None),  # state_i
+            P(),  # init
+        ),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+
+    def run(packed, seed, weights=None, state=None, init=None):
+        return sharded(
+            packed,
+            jnp.asarray(seed, jnp.int32),
+            jnp.asarray(weights, jnp.float32),
+            state[0],
+            state[1],
+            jnp.asarray(init, jnp.int32),
+        )
+
+    return run
+
+
 def make_fused_train_step(
     cfg: PPOConfig,
     batch: int,
@@ -90,6 +171,8 @@ def make_fused_train_step(
     hidden: int = 64,
     interpret: bool = False,
     pallas_overrides: Optional[dict] = None,
+    mesh=None,
+    axis: str = "dp",
 ):
     """Build the fused PPO iteration: pallas actor + XLA learner.
 
@@ -98,6 +181,11 @@ def make_fused_train_step(
     ``ts`` is a :class:`FusedTrainState` (see :func:`init_fused_state`).
     The policy MUST use the relu trunk (``policy_apply(..., act='relu')``)
     with width ``hidden`` — the kernel runs that exact network.
+
+    With ``mesh``, the kernel fans out one-per-device over the mesh's
+    ``axis`` (patients sharded, weights replicated) and the learner's
+    gradient all-reduce over the sharded minibatches is inserted by GSPMD —
+    the multi-chip training configuration (BASELINE config 5).
     """
     from simglucose_tpu.ops.pallas_rollout import config_for_sensor
 
@@ -111,7 +199,10 @@ def make_fused_train_step(
     )
     over.update(pallas_overrides or {})
     pcfg: PallasRolloutConfig = config_for_sensor(sensor, **over)
-    run = make_pallas_rollout(pcfg, batch, interpret=interpret)
+    if mesh is None:
+        run = make_pallas_rollout(pcfg, batch, interpret=interpret)
+    else:
+        run = _make_sharded_nn_run(pcfg, batch, mesh, axis, interpret)
     opt = make_optimizer(cfg)
 
     def train_step(packed_params: jnp.ndarray, ts: FusedTrainState):
@@ -146,7 +237,7 @@ def make_fused_train_step(
         advs, rets = _gae(cfg, tr, last_value)
         params, opt_state, key, aux = _update(
             cfg, opt, ts.params, ts.opt_state, tr, advs, rets, key,
-            mesh=None, act="relu",
+            mesh=mesh, act="relu",
         )
         metrics = {
             "reward_mean": reward.mean(),
@@ -155,11 +246,17 @@ def make_fused_train_step(
             "v_loss": aux[1].mean(),
             "entropy": aux[2].mean(),
         }
+        # outputs that feed back into a donated next call must come from
+        # distinct buffers — see envs/rollout.py (the f(donate(a), a)
+        # CSE-aliasing hazard)
+        state_f, state_i = jax.lax.optimization_barrier(
+            (traj["state_f"], traj["state_i"])
+        )
         new_ts = FusedTrainState(
             params=params,
             opt_state=opt_state,
-            state_f=traj["state_f"],
-            state_i=traj["state_i"],
+            state_f=state_f,
+            state_i=state_i,
             init=jnp.int32(0),
             key=key,
         )

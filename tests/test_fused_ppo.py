@@ -165,3 +165,48 @@ def test_fused_train_step_runs_and_carries_state():
     # than restarting from a fresh init
     frac_advanced = (t_min_after_2 > t_min_after_1).mean()
     assert frac_advanced > 0.8, frac_advanced
+
+
+def test_fused_train_step_sharded_over_mesh():
+    """Multi-chip fused training (BASELINE config 5 analog): one kernel per
+    device under shard_map, weights replicated, learner gradients
+    all-reduced by GSPMD.  Runs on the virtual 8-device CPU mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from simglucose_tpu.parallel.sharding import make_mesh
+    from simglucose_tpu.rl.fused import (
+        init_fused_state,
+        make_fused_train_step,
+    )
+    from simglucose_tpu.rl.ppo import PPOConfig, make_optimizer
+
+    n_dev = 8
+    mesh = make_mesh(dp=n_dev, tp=1)
+    Bs = n_dev * 128
+    names = cohort_names(Bs)
+    _, params = make_env(names, batch=True, dtype=np.float32)
+    packed = jax.device_put(
+        pack_params(params.patient, basal_rate(params.patient)),
+        NamedSharding(mesh, P(None, "dp")),
+    )
+    policy = _policy(2)
+    cfg = PPOConfig(rollout_steps=4, epochs=1, minibatches=2)
+    ts = init_fused_state(
+        policy, make_optimizer(cfg).init(policy), Bs, jax.random.PRNGKey(0),
+        mesh=mesh,
+    )
+    step = make_fused_train_step(
+        cfg, Bs, hidden=H, interpret=True, mesh=mesh,
+        pallas_overrides=dict(block_rows=1, t_chunk=2),
+    )
+    with mesh:
+        ts1, m = step(packed, ts)
+    for k, v in m.items():
+        assert np.isfinite(float(v)), k
+    # params updated identically on every device (replicated post-update)
+    assert len(ts1.state_f.sharding.device_set) == n_dev
+    changed = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(ts.params), jax.tree.leaves(ts1.params))
+    )
+    assert changed
