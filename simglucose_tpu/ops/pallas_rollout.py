@@ -544,11 +544,11 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
         #          [state_f_out, state_i_out]  (persistent) | scratch fs/is_
         k = 2
         seed_ref, pref = refs[0], refs[1]
-        wnn_ref = rnoise_ref = noise_ref = None
+        wnn_ref = nns_ref = rnoise_ref = noise_ref = None
         sf_in = si_in = None
         if nn:
-            wnn_ref = refs[k]
-            k += 1
+            wnn_ref, nns_ref = refs[k], refs[k + 1]
+            k += 2
         if cfg.exogenous_noise:
             rnoise_ref, noise_ref = refs[k], refs[k + 1]
             k += 2
@@ -704,8 +704,12 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
                 w1t = wnn_ref[:, 0:4]  # [H, 4]
                 b1 = wnn_ref[:, 4:5]  # [H, 1]
                 wmu = wnn_ref[:, 5:6]  # [H, 1]
-                bmu = wnn_ref[0:1, 6:7]  # [1, 1] -> broadcasts
-                log_std = wnn_ref[1:2, 6:7]  # [1, 1]
+                # b_mu / log_std come through SMEM: scalar->vector broadcast
+                # is native there, while a [1,1] VMEM slice broadcast to
+                # [R,128] is "broadcast in both sublanes and lanes"
+                # (unimplemented in Mosaic)
+                bmu_s = nns_ref[0]
+                sigma_s = jnp.exp(nns_ref[1])
                 w2t = wnn_ref[:, 8:8 + H]  # [H, H]
                 b2 = wnn_ref[:, 8 + H:9 + H]  # [H, 1]
                 # featurize (rl/policy.py): [cgm/400, (cgm-140)/100,
@@ -734,13 +738,13 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
                         0.0,
                     )
                     mu_rows.append(jnp.sum(h * wmu, axis=0, keepdims=True))
-                mu = jnp.concatenate(mu_rows, axis=0) + bmu  # [R, 128]
+                mu = jnp.concatenate(mu_rows, axis=0) + bmu_s  # [R, 128]
                 if cfg.deterministic:
                     raw = mu
                 else:
                     if i_step % 2 == 0:
                         za_pair = _normal_pair(rng, shape)
-                    raw = mu + jnp.exp(log_std) * za_pair[i_step % 2]
+                    raw = mu + sigma_s * za_pair[i_step % 2]
                 raw_out[i_step] = raw
                 # squashed Gaussian -> basal (rl/policy.py sample_action),
                 # then pump quantization (actuator/pump.py:32-39)
@@ -1095,6 +1099,9 @@ def make_pallas_rollout(cfg: PallasRolloutConfig, batch: int, interpret: bool = 
                 (H, H + 16), lambda b, t: (0, 0), memory_space=pltpu.VMEM
             )
         )
+        in_specs.append(
+            pl.BlockSpec(memory_space=pltpu.SMEM)  # (b_mu, log_std)
+        )
     if cfg.exogenous_noise:
         in_specs += [
             pl.BlockSpec(  # reset noise: both pops, every grid step
@@ -1156,7 +1163,9 @@ def make_pallas_rollout(cfg: PallasRolloutConfig, batch: int, interpret: bool = 
             if weights is None:
                 raise ValueError("'nn' config needs weights= "
                                  "(pack_policy_weights)")
-            args.append(jnp.asarray(weights, jnp.float32))
+            w = jnp.asarray(weights, jnp.float32)
+            args.append(w)
+            args.append(w[0:2, 6])  # (b_mu, log_std) -> SMEM scalars
         if cfg.exogenous_noise:
             if reset_noise is None or step_noise is None:
                 raise ValueError(

@@ -196,6 +196,9 @@ def make_fused_train_step(
         n_steps=cfg.rollout_steps,
         persistent_state=True,
         prng="hw" if not interpret else "sw",
+        # the nn config carries 10 trajectory planes + state in/out in
+        # VMEM; the default t_chunk=32 lands ~30KB over the 16MB budget
+        t_chunk=min(16, cfg.rollout_steps),
     )
     over.update(pallas_overrides or {})
     pcfg: PallasRolloutConfig = config_for_sensor(sensor, **over)

@@ -14,10 +14,13 @@ Prints ONE JSON line:
    "iters_per_sec": N, "batch": B, "rollout_steps": T}
 """
 import json
+import sys
 import time
 
 import jax
 import numpy as np
+
+sys.path.insert(0, ".")  # run as `python tools/bench_ppo.py` from repo root
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/simglucose_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
