@@ -103,6 +103,11 @@ class PallasRolloutConfig:
     pid_target: float = 140.0
     bb_target: float = 140.0  # basal_bolus_ctrller.py:28 (default target)
     const_basal: float = 0.0
+    # reward law: 'risk_diff' (the reference default, env.py:27-33) or
+    # 'neg_risk' (dense -RI/10 — analysis/risk.py neg_risk_reward; the
+    # per-episode-telescoping risk_diff is a near-zero-mean signal for RL,
+    # see tests/test_ppo.py design notes)
+    reward_kind: str = "risk_diff"
     # env
     bg_done_low: float = 70.0
     bg_done_high: float = 350.0
@@ -929,7 +934,10 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
             # ---- reward / done (env.py:100-103, risk_diff env.py:27-33);
             # risk(prev CGM) is carried from the step that produced it ----
             risk_now = _risk_of(CGM_acc)
-            reward = prev_risk - risk_now
+            if cfg.reward_kind == "neg_risk":
+                reward = -0.1 * risk_now
+            else:
+                reward = prev_risk - risk_now
             done = (BG_acc < cfg.bg_done_low) | (BG_acc > cfg.bg_done_high)
             donef = done.astype(jnp.float32)
 
@@ -1052,6 +1060,11 @@ def make_pallas_rollout(cfg: PallasRolloutConfig, batch: int, interpret: bool = 
                          "noise planes (use deterministic mode for parity)")
     if cfg.nn_hidden % 8:
         raise ValueError("nn_hidden must be a multiple of 8 (sublane tile)")
+    if cfg.reward_kind not in ("risk_diff", "neg_risk"):
+        raise ValueError(
+            f"reward_kind must be 'risk_diff' or 'neg_risk'; "
+            f"got {cfg.reward_kind!r}"
+        )
     if cfg.regen_every < 1 or cfg.regen_every * cfg.sample_time > 288:
         raise ValueError(
             f"regen_every={cfg.regen_every} must satisfy 1 <= regen_every "

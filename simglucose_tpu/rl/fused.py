@@ -173,6 +173,7 @@ def make_fused_train_step(
     pallas_overrides: Optional[dict] = None,
     mesh=None,
     axis: str = "dp",
+    reward_kind: str = "risk_diff",
 ):
     """Build the fused PPO iteration: pallas actor + XLA learner.
 
@@ -196,6 +197,7 @@ def make_fused_train_step(
         n_steps=cfg.rollout_steps,
         persistent_state=True,
         prng="hw" if not interpret else "sw",
+        reward_kind=reward_kind,
         # the nn config carries 10 trajectory planes + state in/out in
         # VMEM; the default t_chunk=32 lands ~30KB over the 16MB budget
         t_chunk=min(16, cfg.rollout_steps),
@@ -266,3 +268,23 @@ def make_fused_train_step(
         return new_ts, metrics
 
     return train_step
+
+
+def make_fused_train_loop(
+    cfg: PPOConfig, batch: int, iters_per_call: int, **kwargs
+):
+    """``lax.scan`` over ``iters_per_call`` fused train steps in ONE jitted
+    program: host dispatch happens once per call instead of once per
+    iteration (per-step dispatch costs ~100x the 6.6ms device iteration
+    over a remote/tunneled runtime).  Returns
+    ``loop(packed_params, ts) -> (ts', metrics)`` with metrics stacked
+    [iters_per_call]."""
+    step = make_fused_train_step(cfg, batch, **kwargs)
+
+    def loop(packed_params, ts: FusedTrainState):
+        def body(carry, _):
+            return step(packed_params, carry)
+
+        return jax.lax.scan(body, ts, None, length=iters_per_call)
+
+    return loop

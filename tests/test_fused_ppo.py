@@ -167,6 +167,52 @@ def test_fused_train_step_runs_and_carries_state():
     assert frac_advanced > 0.8, frac_advanced
 
 
+def test_fused_train_loop_scans_iterations():
+    """make_fused_train_loop: K iterations in one program — metrics stack
+    [K] and the state threads through the scan."""
+    from simglucose_tpu.rl.fused import init_fused_state, make_fused_train_loop
+    from simglucose_tpu.rl.ppo import PPOConfig, make_optimizer
+
+    names = cohort_names(B)
+    _, params = make_env(names, batch=True, dtype=np.float32)
+    packed = pack_params(params.patient, basal_rate(params.patient))
+    policy = init_policy(jax.random.PRNGKey(3), hidden=8, init_mu_bias=-1.0)
+    cfg = PPOConfig(rollout_steps=2, epochs=1, minibatches=2)
+    ts = init_fused_state(
+        policy, make_optimizer(cfg).init(policy), B, jax.random.PRNGKey(0)
+    )
+    loop = make_fused_train_loop(
+        cfg, B, 2, hidden=8, interpret=True,
+        pallas_overrides=dict(block_rows=1, t_chunk=1),
+    )
+    ts1, m = loop(packed, ts)
+    assert m["reward_mean"].shape == (2,)
+    assert np.isfinite(np.asarray(m["reward_mean"])).all()
+    assert int(ts1.init) == 0
+    assert np.asarray(ts1.state_i[0]).max() > 0
+
+
+def test_neg_risk_reward_kind():
+    """reward_kind='neg_risk': the kernel's reward plane must equal
+    -RI(CGM)/10 of its own CGM plane (analysis/risk.py law)."""
+    from simglucose_tpu.analysis.risk import risk_scalar
+
+    names = cohort_names(B)
+    _, params = make_env(names, batch=True, dtype=np.float32)
+    packed = pack_params(params.patient, basal_rate(params.patient))
+    T = 4
+    pcfg = PallasRolloutConfig(
+        n_steps=T, block_rows=1, t_chunk=2, deterministic=True,
+        controller="pid", reward_kind="neg_risk",
+    )
+    traj = make_pallas_rollout(pcfg, B, interpret=True)(packed, 0)
+    _, _, ri = risk_scalar(jnp.asarray(traj["CGM"]))
+    np.testing.assert_allclose(
+        np.asarray(traj["reward"]), -0.1 * np.asarray(ri),
+        rtol=1e-5, atol=1e-7,
+    )
+
+
 def test_fused_train_step_sharded_over_mesh():
     """Multi-chip fused training (BASELINE config 5 analog): one kernel per
     device under shard_map, weights replicated, learner gradients

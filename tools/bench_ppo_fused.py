@@ -22,7 +22,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 B = 8192
 T = 64
-N_ITERS = 8
+N_ITERS = 32
 
 
 def main():
@@ -32,7 +32,7 @@ def main():
     from simglucose_tpu.ops.pallas_rollout import pack_params
     from simglucose_tpu.rl.fused import (
         init_fused_state,
-        make_fused_train_step,
+        make_fused_train_loop,
     )
     from simglucose_tpu.rl.policy import init_policy
     from simglucose_tpu.rl.ppo import PPOConfig, make_optimizer
@@ -47,19 +47,22 @@ def main():
         init_log_std=cfg.init_log_std, init_mu_bias=-2.2,
     )
     ts = init_fused_state(policy, make_optimizer(cfg).init(policy), B, key)
-    step = jax.jit(
-        make_fused_train_step(cfg, B, hidden=hidden), donate_argnums=(1,)
+    # measure through the scanned train loop (N_ITERS iterations per
+    # dispatch): per-call host dispatch costs ~100x the device iteration
+    # over a tunneled runtime and is not what production training pays
+    loop = jax.jit(
+        make_fused_train_loop(cfg, B, N_ITERS, hidden=hidden),
+        donate_argnums=(1,),
     )
 
-    ts, m = step(packed, ts)
-    _ = float(m["reward_mean"])  # drain compile + pipeline
+    ts, m = loop(packed, ts)
+    _ = float(m["reward_mean"][-1])  # drain compile + pipeline
 
     best = 0.0
     for _ in range(2):
         tic = time.perf_counter()
-        for _ in range(N_ITERS):
-            ts, m = step(packed, ts)
-        final = float(m["reward_mean"])
+        ts, m = loop(packed, ts)
+        final = float(m["reward_mean"][-1])
         toc = time.perf_counter()
         assert np.isfinite(final)
         best = max(best, N_ITERS / (toc - tic))
