@@ -40,6 +40,7 @@ from simglucose_tpu.ops.pallas_rollout import (
 )
 from simglucose_tpu.rl.policy import (
     PolicyParams,
+    featurize_parts,
     gaussian_logprob,
     policy_apply,
 )
@@ -87,16 +88,8 @@ def init_fused_state(
 
 
 def _features(octrl, oins, ocho):
-    """featurize() (rl/policy.py) from the kernel's observation planes."""
-    return jnp.stack(
-        [
-            octrl / 400.0,
-            (octrl - 140.0) / 100.0,
-            jnp.tanh(oins),
-            jnp.tanh(ocho / 10.0),
-        ],
-        axis=-1,
-    )
+    """featurize() from the kernel's observation planes."""
+    return featurize_parts(octrl, oins, ocho)
 
 
 def _make_sharded_nn_run(pcfg, batch, mesh, axis, interpret):
@@ -199,8 +192,12 @@ def make_fused_train_step(
         prng="hw" if not interpret else "sw",
         reward_kind=reward_kind,
         # the nn config carries 10 trajectory planes + state in/out in
-        # VMEM; the default t_chunk=32 lands ~30KB over the 16MB budget
-        t_chunk=min(16, cfg.rollout_steps),
+        # VMEM; the default t_chunk=32 lands ~30KB over the 16MB budget.
+        # Must divide rollout_steps: pick the largest divisor <= 16.
+        t_chunk=max(
+            c for c in range(1, min(16, cfg.rollout_steps) + 1)
+            if cfg.rollout_steps % c == 0
+        ),
     )
     over.update(pallas_overrides or {})
     pcfg: PallasRolloutConfig = config_for_sensor(sensor, **over)

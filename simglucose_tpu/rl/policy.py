@@ -77,23 +77,32 @@ def init_policy(
     )
 
 
-def featurize(result) -> jnp.ndarray:
-    """StepResult -> [..., OBS_DIM] normalized features.
+def featurize_parts(cgm, insulin, cho) -> jnp.ndarray:
+    """(CGM, insulin, CHO) -> [..., OBS_DIM] normalized features — the ONE
+    definition of the observation normalization (the pallas 'nn' kernel
+    mirrors these constants in-kernel, ops/pallas_rollout.py, and its
+    parity test pins them against this function).
 
     All features are bounded: insulin can reach the pump's 30 U/min ceiling
     while exploring, and an unbounded ``insulin*10`` feature saturates the
     tanh trunk (72% of units at |h|>0.99 in round-1 diagnostics), killing
     the policy gradient.  tanh-squashing keeps resolution in the
     therapeutic range (~0.01-0.1 U/min) and bounds the tail."""
-    cgm = result.observation.CGM
     return jnp.stack(
         [
             cgm / 400.0,
             (cgm - 140.0) / 100.0,
-            jnp.tanh(result.insulin),
-            jnp.tanh(result.CHO / 10.0),
+            jnp.tanh(insulin),
+            jnp.tanh(cho / 10.0),
         ],
         axis=-1,
+    )
+
+
+def featurize(result) -> jnp.ndarray:
+    """StepResult -> [..., OBS_DIM] features (see :func:`featurize_parts`)."""
+    return featurize_parts(
+        result.observation.CGM, result.insulin, result.CHO
     )
 
 

@@ -273,7 +273,14 @@ def make_train_step(
 
     ``reward_fun`` overrides the env's default risk-diff reward for
     training (the reference's pluggable ``reward_fun`` kwarg,
-    reference: envs/simglucose_gym_env.py:27, simulation/env.py:100-102)."""
+    reference: envs/simglucose_gym_env.py:27, simulation/env.py:100-102).
+    Reference-style 1-arg rewards over the BG-last-hour history are
+    adapted via :func:`~simglucose_tpu.envs.functional.wrap_reward_fn`,
+    exactly like the gym adapters and ``simulate()``."""
+    if reward_fun is not None:
+        from simglucose_tpu.envs.functional import wrap_reward_fn
+
+        reward_fun = wrap_reward_fn(reward_fun, env_cfg.window_size)
     opt = make_optimizer(cfg)
 
     def train_step(env_params: EnvParams, ts: TrainState):

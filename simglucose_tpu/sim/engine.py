@@ -61,19 +61,7 @@ def _resolve_controller(controller, cfg, env_params, patient_names, dtype):
     ``{'PID': {...}}``.  Likewise ``('BB', dict(target=...))``.
 
     Returns (ctrl_init, ctrl_fn, ctrl_in_axes)."""
-    kwargs = {}
-    if isinstance(controller, dict) and len(controller) == 1:
-        (name, kwargs), = controller.items()
-        controller = name
-    elif (
-        isinstance(controller, tuple)
-        and len(controller) == 2
-        and isinstance(controller[0], str)
-        and isinstance(controller[1], dict)
-    ):
-        controller, kwargs = controller
-    if not isinstance(kwargs, dict):
-        raise ValueError(f"controller kwargs must be a dict; got {kwargs!r}")
+    controller, kwargs = _controller_spec(controller)
 
     if controller is None or (
         isinstance(controller, str) and controller.upper() in ("BB", "BASAL-BOLUS")
@@ -128,13 +116,18 @@ def _pallas_eligible(
     if reward_fun is not risk_diff_reward:
         return "a custom reward_fun"
     ctrl_name, ctrl_kwargs = _controller_spec(controller)
-    known_kw = {"P", "I", "D", "target"}
+    # kwarg whitelist is PER CONTROLLER: BB accepts only 'target' (the XLA
+    # path's bb_policy raises on P/I/D), so ('BB', {'P': ...}) must NOT be
+    # deemed eligible and silently dropped — both engines must accept
+    # exactly the same specs
+    known_kw = {"BB": {"target"}, "BASAL-BOLUS": {"target"},
+                "PID": {"P", "I", "D", "target"}}
     if not (
         ctrl_name is None
         or (
             isinstance(ctrl_name, str)
-            and ctrl_name.upper() in ("BB", "BASAL-BOLUS", "PID")
-            and set(ctrl_kwargs) <= known_kw
+            and ctrl_name.upper() in known_kw
+            and set(ctrl_kwargs) <= known_kw[ctrl_name.upper()]
         )
     ):
         return "a custom controller"

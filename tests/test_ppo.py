@@ -143,6 +143,33 @@ def test_ppo_learns_glucose_control():
     assert d1 < 0.03, d1  # without runaway hypoglycemia
 
 
+def test_reference_style_reward_fun_in_train_step():
+    """make_train_step(reward_fun=...) must accept the reference's 1-arg
+    reward over the BG-last-hour history (simulation/env.py:100-102) —
+    adapted via wrap_reward_fn like every other reward_fun entry point."""
+    B = 8
+    cfg, env_params, ppo_cfg, ts = _setup(B)
+    step = jax.jit(
+        make_train_step(ppo_cfg, cfg, reward_fun=lambda bg_hist: -bg_hist[-1])
+    )
+    ts2, m = step(env_params, ts)
+    assert np.isfinite(float(m["reward_mean"]))
+    # the reward really is -CGM-scale, not risk-diff-scale
+    assert float(m["reward_mean"]) < -30.0
+
+
+def test_fused_train_step_t_chunk_divisibility():
+    """rollout_steps values not divisible by 16 must still build (the nn
+    config picks the largest divisor <= 16 for its time chunk)."""
+    from simglucose_tpu.rl.fused import make_fused_train_step
+
+    step = make_fused_train_step(
+        PPOConfig(rollout_steps=24), 128, hidden=8, interpret=True,
+        pallas_overrides=dict(block_rows=1),
+    )
+    assert callable(step)
+
+
 def test_gae_associative_scan_matches_sequential():
     """The parallel (associative_scan) GAE must match the textbook
     sequential backward recurrence on random rewards/values/dones."""

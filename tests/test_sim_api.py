@@ -180,6 +180,15 @@ def test_engine_param_validation():
     assert "dtype" in ok(dtype=np.float64)
     assert "reward" in ok(reward_fun=lambda w, n: 0.0)
     assert "controller" in ok(controller=((), lambda s, r: None))
+    # the kwarg whitelist is PER controller: BB takes only 'target' (the
+    # XLA path's bb_policy raises on P/I/D), so ('BB', {'P': ...}) must be
+    # ineligible — NOT silently run default therapy on the pallas engine
+    assert "controller" in ok(controller=("BB", dict(P=-1e-4)))
+    assert "controller" in ok(controller=("PID", dict(nope=1)))
+    # valid per-controller kwargs pass the controller check (only the
+    # backend blocks on CPU)
+    assert "backend" in ok(controller=("BB", dict(target=150.0)))
+    assert "backend" in ok(controller=("PID", dict(P=-2e-4, D=-1e-3)))
     # everything else fine -> only the backend blocks on CPU
     assert "backend" in ok()
 
