@@ -38,7 +38,7 @@ cfg = PPOConfig(
     rollout_steps=64, epochs=2, minibatches=4, ent_coef=0.01, lr=1e-3
 )
 policy = init_policy(
-    jax.random.fold_in(key, 1), hidden=HIDDEN,
+    jax.random.fold_in(key, 1), hidden=HIDDEN, act="relu",  # the kernel trunk
     init_log_std=cfg.init_log_std, init_mu_bias=-2.2,  # safe cold start
 )
 ts = init_fused_state(policy, make_optimizer(cfg).init(policy), B, key)

@@ -206,7 +206,18 @@ def pack_policy_weights(params) -> jnp.ndarray:
     [6] rows 0/1 = (b_mu, log_std) | [8:8+H] w2^T | [8+H] b2.  The value
     head (w_v/b_v) is NOT shipped: the kernel only needs the policy mean —
     values and log-probs are recomputed by the learner in one batched XLA
-    forward pass over the rollout's observation outputs."""
+    forward pass over the rollout's observation outputs.
+
+    The kernel's trunk is hardwired relu; params carrying any other static
+    ``act`` metadata (rl/policy.py PolicyParams) are rejected so a
+    tanh-trained checkpoint cannot silently run as a different network."""
+    act = getattr(params, "act", "relu")
+    if act != "relu":
+        raise ValueError(
+            f"the pallas 'nn' controller implements a relu trunk; got "
+            f"params with act={act!r} (train/init the policy with "
+            f"act='relu' to use the fused actor)"
+        )
     H = params.b1.shape[0]
     buf = jnp.zeros((H, H + 16), jnp.float32)
     buf = buf.at[:, 0:4].set(params.w1.T.astype(jnp.float32))
@@ -1244,40 +1255,130 @@ def make_sharded_pallas_rollout(
     pool, sim_engine.py:65-76).  Per-device RNG streams are decorrelated by
     folding the mesh position into the seed.
 
+    Supports EVERY kernel configuration the single-device runner does, with
+    the same ``run(packed_params, seed, reset_noise=, step_noise=, weights=,
+    state=, init=)`` signature:
+
+      * 'nn' controller — ``weights`` replicated to every device; the extra
+        raw/octrl/oins/ocho trajectory planes and tail observations come
+        back batch-sharded (the fused PPO actor, rl/fused.py).
+      * ``persistent_state`` — ``state_f``/``state_i`` stay sharded over the
+        batch axis across calls.
+      * ``exogenous_noise`` — the caller-supplied noise planes are consumed
+        batch-sharded, exactly like the packed params.
+
     ``batch`` is GLOBAL; it must split evenly into per-device batches that
-    satisfy the single-device kernel's tiling constraints.  Returns
-    ``run(packed_params, seed) -> traj dict`` of global-batch arrays
-    ([n_steps, batch] trajectories, [batch] reset samples).
+    satisfy the single-device kernel's tiling constraints (the inner builder
+    raises otherwise).  Returns global-batch arrays ([n_steps, batch]
+    trajectories, [batch] reset samples).
     """
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     n_dev = mesh.shape[axis]
-    if batch % n_dev:
-        raise ValueError(f"global batch {batch} not divisible by {n_dev}")
+    if batch % (n_dev * LANES):
+        raise ValueError(
+            f"global batch {batch} must divide into {n_dev} devices x "
+            f"{LANES} lanes"
+        )
     per = batch // n_dev
     inner = make_pallas_rollout(cfg, per, interpret=interpret)
+    nn = cfg.controller == "nn"
+    rows = batch // LANES
 
-    def device_fn(packed, seed):
-        dseed = seed.reshape(()) + jax.lax.axis_index(axis) * jnp.int32(7919)
-        return inner(packed, dseed)
+    # (in_spec, kwarg-builder) per optional input, in the order run() packs
+    # them; sharded planes follow the packed-params layout [planes, rows, 128]
+    shard3 = P(None, axis, None)
+    rest_specs = []
+    if cfg.exogenous_noise:
+        rest_specs += [shard3, shard3]  # reset_noise, step_noise
+    if nn:
+        rest_specs += [P()]  # weights (replicated)
+    if cfg.persistent_state:
+        rest_specs += [shard3, shard3, P()]  # state_f, state_i, init
 
-    traj_spec = {
+    def device_fn(packed, seed, *rest):
+        dseed = seed + jax.lax.axis_index(axis) * jnp.int32(7919)
+        kw = {}
+        i = 0
+        if cfg.exogenous_noise:
+            kw["reset_noise"], kw["step_noise"] = rest[i], rest[i + 1]
+            i += 2
+        if nn:
+            kw["weights"] = rest[i]
+            i += 1
+        if cfg.persistent_state:
+            kw["state"] = (rest[i], rest[i + 1])
+            kw["init"] = rest[i + 2]
+            i += 3
+        return inner(packed, dseed, **kw)
+
+    out_specs = {
         k: P(None, axis)
         for k in ("CGM", "BG", "reward", "done", "CHO", "insulin")
     }
-    traj_spec["BG0"] = P(axis)
-    traj_spec["CGM0"] = P(axis)
+    out_specs["BG0"] = P(axis)
+    out_specs["CGM0"] = P(axis)
+    if nn:
+        for k in ("raw", "octrl", "oins", "ocho"):
+            out_specs[k] = P(None, axis)
+        for k in ("tail_octrl", "tail_oins", "tail_ocho"):
+            out_specs[k] = P(axis)
+    if cfg.persistent_state:
+        out_specs["state_f"] = shard3
+        out_specs["state_i"] = shard3
 
     sharded = shard_map(
         device_fn,
         mesh=mesh,
-        in_specs=(P(None, axis, None), P()),
-        out_specs=traj_spec,
+        in_specs=(P(None, axis, None), P(), *rest_specs),
+        out_specs=out_specs,
         check_vma=False,
     )
 
-    def run(packed_params: jnp.ndarray, seed) -> dict:
-        return sharded(packed_params, jnp.asarray(seed, jnp.int32).reshape(1))
+    def run(
+        packed_params: jnp.ndarray,
+        seed,
+        reset_noise=None,
+        step_noise=None,
+        weights=None,
+        state=None,
+        init=None,
+    ) -> dict:
+        rest = []
+        if cfg.exogenous_noise:
+            if reset_noise is None or step_noise is None:
+                raise ValueError(
+                    "exogenous_noise config needs reset_noise [2, rows, 128] "
+                    "and step_noise [n_steps, rows, 128] (global rows; "
+                    "sharded over the batch axis like packed_params)"
+                )
+            rest += [
+                jnp.asarray(reset_noise, jnp.float32),
+                # step noise arrives [n_steps, rows, 128]; shard_map splits
+                # the rows axis, matching the per-device kernel's view
+                jnp.asarray(step_noise, jnp.float32),
+            ]
+        if nn:
+            if weights is None:
+                raise ValueError(
+                    "'nn' config needs weights= (pack_policy_weights)"
+                )
+            rest.append(jnp.asarray(weights, jnp.float32))
+        if cfg.persistent_state:
+            if state is None:
+                state = (
+                    jnp.zeros((NS_F, rows, LANES), jnp.float32),
+                    jnp.zeros((NS_I, rows, LANES), jnp.int32),
+                )
+            init_s = (
+                jnp.int32(1) if init is None else jnp.asarray(init, jnp.int32)
+            )
+            rest += [state[0], state[1], init_s]
+        elif init is not None:
+            raise ValueError("init= only applies to persistent_state configs")
+        return sharded(
+            packed_params, jnp.asarray(seed, jnp.int32).reshape(()), *rest
+        )
 
     return run

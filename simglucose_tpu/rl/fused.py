@@ -36,6 +36,7 @@ from simglucose_tpu.ops.pallas_rollout import (
     LANES,
     PallasRolloutConfig,
     make_pallas_rollout,
+    make_sharded_pallas_rollout,
     pack_policy_weights,
 )
 from simglucose_tpu.rl.policy import (
@@ -92,71 +93,6 @@ def _features(octrl, oins, ocho):
     return featurize_parts(octrl, oins, ocho)
 
 
-def _make_sharded_nn_run(pcfg, batch, mesh, axis, interpret):
-    """The 'nn' persistent kernel under shard_map over the mesh's patient
-    axis: one kernel per device, weights replicated, simulator state and
-    trajectories sharded, per-device PRNG streams decorrelated by mesh
-    position (multi-chip analog: reference sim_engine.py:65-76 process
-    pool; the learner's gradient all-reduce happens downstream in GSPMD —
-    BASELINE config 5)."""
-    from jax import shard_map
-    from jax.sharding import PartitionSpec as P
-
-    n_dev = mesh.shape[axis]
-    if batch % (n_dev * LANES):
-        raise ValueError(
-            f"global batch {batch} must divide into {n_dev} devices x "
-            f"{LANES} lanes"
-        )
-    per = batch // n_dev
-    inner = make_pallas_rollout(pcfg, per, interpret=interpret)
-
-    def device_fn(packed, seed, wnn, sf, si, init):
-        dseed = seed + jax.lax.axis_index(axis) * jnp.int32(7919)
-        return inner(
-            packed, dseed, weights=wnn, state=(sf, si), init=init
-        )
-
-    out_specs = {
-        k: P(None, axis)
-        for k in (
-            "CGM", "BG", "reward", "done", "CHO", "insulin",
-            "raw", "octrl", "oins", "ocho",
-        )
-    }
-    for k in ("BG0", "CGM0", "tail_octrl", "tail_oins", "tail_ocho"):
-        out_specs[k] = P(axis)
-    out_specs["state_f"] = P(None, axis, None)
-    out_specs["state_i"] = P(None, axis, None)
-
-    sharded = shard_map(
-        device_fn,
-        mesh=mesh,
-        in_specs=(
-            P(None, axis, None),  # packed params
-            P(),  # seed
-            P(),  # weights (replicated)
-            P(None, axis, None),  # state_f
-            P(None, axis, None),  # state_i
-            P(),  # init
-        ),
-        out_specs=out_specs,
-        check_vma=False,
-    )
-
-    def run(packed, seed, weights=None, state=None, init=None):
-        return sharded(
-            packed,
-            jnp.asarray(seed, jnp.int32),
-            jnp.asarray(weights, jnp.float32),
-            state[0],
-            state[1],
-            jnp.asarray(init, jnp.int32),
-        )
-
-    return run
-
-
 def make_fused_train_step(
     cfg: PPOConfig,
     batch: int,
@@ -173,8 +109,10 @@ def make_fused_train_step(
     Returns ``train_step(packed_params, ts) -> (ts', metrics)`` where
     ``packed_params`` comes from :func:`ops.pallas_rollout.pack_params` and
     ``ts`` is a :class:`FusedTrainState` (see :func:`init_fused_state`).
-    The policy MUST use the relu trunk (``policy_apply(..., act='relu')``)
-    with width ``hidden`` — the kernel runs that exact network.
+    The policy MUST carry the relu trunk (``init_policy(..., act='relu')``)
+    with width ``hidden`` — the kernel runs that exact network, and
+    ``pack_policy_weights`` rejects params whose static ``act`` metadata
+    says otherwise (a tanh-trained checkpoint cannot silently run as relu).
 
     With ``mesh``, the kernel fans out one-per-device over the mesh's
     ``axis`` (patients sharded, weights replicated) and the learner's
@@ -204,7 +142,9 @@ def make_fused_train_step(
     if mesh is None:
         run = make_pallas_rollout(pcfg, batch, interpret=interpret)
     else:
-        run = _make_sharded_nn_run(pcfg, batch, mesh, axis, interpret)
+        run = make_sharded_pallas_rollout(
+            pcfg, batch, mesh, axis=axis, interpret=interpret
+        )
     opt = make_optimizer(cfg)
 
     def train_step(packed_params: jnp.ndarray, ts: FusedTrainState):
@@ -219,12 +159,12 @@ def make_fused_train_step(
         )
         # recompute logp/value at the rollout params in one batched forward
         obs = _features(traj["octrl"], traj["oins"], traj["ocho"])  # [T,B,4]
-        mu, log_std, value = policy_apply(ts.params, obs, act="relu")
+        mu, log_std, value = policy_apply(ts.params, obs)
         logp = gaussian_logprob(mu, log_std, traj["raw"])
         tail_obs = _features(
             traj["tail_octrl"], traj["tail_oins"], traj["tail_ocho"]
         )
-        _, _, last_value = policy_apply(ts.params, tail_obs, act="relu")
+        _, _, last_value = policy_apply(ts.params, tail_obs)
 
         done = traj["done"]
         reward = traj["reward"] - cfg.done_penalty * done.astype(value.dtype)
@@ -239,7 +179,7 @@ def make_fused_train_step(
         advs, rets = _gae(cfg, tr, last_value)
         params, opt_state, key, aux = _update(
             cfg, opt, ts.params, ts.opt_state, tr, advs, rets, key,
-            mesh=mesh, act="relu",
+            mesh=mesh,
         )
         metrics = {
             "reward_mean": reward.mean(),

@@ -11,7 +11,8 @@ constraints when a mesh is supplied.  XLA inserts the tp all-reduces.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+import dataclasses
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -19,8 +20,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 OBS_DIM = 4
 
+ACTIVATIONS = ("tanh", "relu")
 
-class PolicyParams(NamedTuple):
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PolicyParams:
+    """Gaussian-MLP policy + value weights.
+
+    ``act`` — the trunk activation ('tanh' or 'relu') — is STATIC pytree
+    metadata, not a leaf: it travels with the params through jit/grad/optax
+    and into checkpoints' tree structure, so a network can never be applied
+    with the wrong nonlinearity.  The pallas in-kernel actor
+    (ops/pallas_rollout.py 'nn' controller) implements relu only;
+    :func:`~simglucose_tpu.ops.pallas_rollout.pack_policy_weights` rejects
+    anything else."""
+
     w1: jnp.ndarray  # [OBS_DIM, H]
     b1: jnp.ndarray  # [H]
     w2: jnp.ndarray  # [H, H]
@@ -30,9 +45,10 @@ class PolicyParams(NamedTuple):
     log_std: jnp.ndarray  # [1]
     w_v: jnp.ndarray  # [H, 1]
     b_v: jnp.ndarray  # [1]
+    act: str = dataclasses.field(default="tanh", metadata=dict(static=True))
 
 
-def param_specs() -> PolicyParams:
+def param_specs(act: str = "tanh") -> PolicyParams:
     """PartitionSpecs sharding the hidden dimension over 'tp'."""
     return PolicyParams(
         w1=P(None, "tp"),
@@ -44,6 +60,7 @@ def param_specs() -> PolicyParams:
         log_std=P(),
         w_v=P("tp", None),
         b_v=P(),
+        act=act,
     )
 
 
@@ -53,12 +70,19 @@ def init_policy(
     dtype=jnp.float32,
     init_log_std: float = -0.5,
     init_mu_bias: float = 0.0,
+    act: str = "tanh",
 ) -> PolicyParams:
     """``init_mu_bias`` shifts the initial action distribution: the emitted
     basal starts near ``sigmoid(init_mu_bias) * action_scale``.  The default
     0 starts at half the action range; a negative bias (e.g. -2.2 ->
     ~0.02 U/min at scale 0.2) starts from safe under-insulinization, which
-    is the clinically sensible cold-start for training."""
+    is the clinically sensible cold-start for training.
+
+    ``act`` picks the trunk activation and is carried in the params (see
+    :class:`PolicyParams`); use 'relu' for networks destined for the
+    pallas-fused actor."""
+    if act not in ACTIVATIONS:
+        raise ValueError(f"act must be one of {ACTIVATIONS}; got {act!r}")
     k1, k2, k3, k4 = jax.random.split(key, 4)
 
     def he(k, shape):
@@ -74,6 +98,7 @@ def init_policy(
         log_std=jnp.full((1,), init_log_std, dtype),
         w_v=he(k4, (hidden, 1)),
         b_v=jnp.zeros((1,), dtype),
+        act=act,
     )
 
 
@@ -110,19 +135,17 @@ def policy_apply(
     params: PolicyParams,
     obs: jnp.ndarray,
     mesh: Optional[Mesh] = None,
-    act: str = "tanh",
 ):
     """Returns (mu, log_std, value) for obs [..., OBS_DIM].
 
     All matmuls carry ``preferred_element_type=float32`` so bf16 params still
     accumulate in f32 on the MXU.
 
-    ``act`` selects the trunk activation: 'tanh' (default) or 'relu'.  The
-    pallas-fused actor (ops/pallas_rollout.py 'nn' controller) uses 'relu' —
-    VPU-cheap inside the kernel — and the learner must apply the SAME
-    function when recomputing logp/value on the rollout observations.
-    """
-    f = jnp.tanh if act == "tanh" else lambda x: jnp.maximum(x, 0.0)
+    The trunk activation comes from ``params.act`` (static metadata — see
+    :class:`PolicyParams`), so a checkpoint is always applied with the
+    nonlinearity it was trained with; there is no way to run a tanh-trained
+    network as relu or vice versa."""
+    f = jnp.tanh if params.act == "tanh" else lambda x: jnp.maximum(x, 0.0)
 
     def cstr(x, spec):
         if mesh is not None and "tp" in mesh.axis_names:

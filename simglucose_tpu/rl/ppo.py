@@ -169,10 +169,9 @@ def _ppo_loss(
     params: PolicyParams,
     batch,
     mesh: Optional[Mesh],
-    act: str = "tanh",
 ):
     obs, raw, logp_old, adv, ret = batch
-    mu, log_std, value = policy_apply(params, obs, mesh=mesh, act=act)
+    mu, log_std, value = policy_apply(params, obs, mesh=mesh)
     logp = gaussian_logprob(mu, log_std, raw)
     ratio = jnp.exp(logp - logp_old)
     adv_n = (adv - adv.mean()) / (adv.std() + 1e-8)
@@ -195,7 +194,6 @@ def _update(
     rets: jnp.ndarray,
     key: jax.Array,
     mesh: Optional[Mesh],
-    act: str = "tanh",
 ):
     """The PPO learner: epochs x minibatches of clipped-surrogate updates
     over a [T, B] rollout.  Shared by the XLA-rollout trainer
@@ -245,7 +243,7 @@ def _update(
                 rows[:, obs_dim + 3],
             )
             grads, aux = jax.grad(
-                lambda p: _ppo_loss(cfg, p, mb, mesh, act=act), has_aux=True
+                lambda p: _ppo_loss(cfg, p, mb, mesh), has_aux=True
             )(params)
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)

@@ -27,7 +27,7 @@ H = 16  # small relu trunk keeps interpret tracing fast
 def _policy(key=0):
     return init_policy(
         jax.random.PRNGKey(key), hidden=H, init_log_std=-0.5,
-        init_mu_bias=-1.0,
+        init_mu_bias=-1.0, act="relu",
     )
 
 
@@ -75,7 +75,7 @@ def test_nn_controller_matches_xla_policy_rollout():
     def body(carry, _):
         s, prev = carry
         obs = featurize(prev)
-        mu, _, _ = policy_apply(policy, obs, act="relu")
+        mu, _, _ = policy_apply(policy, obs)
         basal = jax.nn.sigmoid(mu) * scale
         s, r, cres = jax.vmap(partial(autoreset_step, cfg))(
             eparams, s, CtrlAction(basal=basal, bolus=jnp.zeros_like(basal))
@@ -167,6 +167,27 @@ def test_fused_train_step_runs_and_carries_state():
     assert frac_advanced > 0.8, frac_advanced
 
 
+def test_pack_policy_weights_rejects_wrong_activation():
+    """The kernel trunk is relu; a tanh-trained checkpoint must be rejected
+    loudly (the activation is static PolicyParams metadata), never silently
+    run as a different network."""
+    import pytest
+
+    tanh_policy = init_policy(jax.random.PRNGKey(0), hidden=8)  # act='tanh'
+    with pytest.raises(ValueError, match="relu trunk"):
+        pack_policy_weights(tanh_policy)
+    # and the activation survives a checkpoint round-trip (static metadata
+    # travels in the tree structure)
+    from simglucose_tpu.utils.checkpoint import restore_state, save_state
+
+    relu_policy = init_policy(jax.random.PRNGKey(0), hidden=8, act="relu")
+    path = "/tmp/test_policy_act.npz"
+    save_state(path, relu_policy)
+    restored = restore_state(path, like=relu_policy)
+    assert restored.act == "relu"
+    pack_policy_weights(restored)  # accepted
+
+
 def test_fused_train_loop_scans_iterations():
     """make_fused_train_loop: K iterations in one program — metrics stack
     [K] and the state threads through the scan."""
@@ -176,7 +197,9 @@ def test_fused_train_loop_scans_iterations():
     names = cohort_names(B)
     _, params = make_env(names, batch=True, dtype=np.float32)
     packed = pack_params(params.patient, basal_rate(params.patient))
-    policy = init_policy(jax.random.PRNGKey(3), hidden=8, init_mu_bias=-1.0)
+    policy = init_policy(
+        jax.random.PRNGKey(3), hidden=8, init_mu_bias=-1.0, act="relu"
+    )
     cfg = PPOConfig(rollout_steps=2, epochs=1, minibatches=2)
     ts = init_fused_state(
         policy, make_optimizer(cfg).init(policy), B, jax.random.PRNGKey(0)

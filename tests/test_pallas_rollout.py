@@ -234,6 +234,92 @@ def test_sharded_kernel_matches_unsharded():
     assert len(got["BG"].sharding.device_set) == 8
 
 
+def test_sharded_exogenous_noise_matches_unsharded():
+    """The unified sharded wrapper must carry EVERY kernel configuration —
+    here the exogenous-noise + static-meal + persistent-free BB config: the
+    caller-supplied noise planes are consumed batch-sharded and the result
+    matches the single-device kernel exactly (patients are embarrassingly
+    parallel; reference analog sim_engine.py:65-76)."""
+    from simglucose_tpu.compat.noise import reference_cgm_noise
+    from simglucose_tpu.params import sensor_record
+    from simglucose_tpu.parallel.sharding import make_mesh
+
+    B8 = 8 * 128
+    names = cohort_names(B8)
+    quest = load_quest_params(names, dtype=np.float32)
+    _, packed = _packed(names, quest=quest)
+
+    T = 8
+    noise = reference_cgm_noise(sensor_record("Dexcom"), 1, T + 2).astype(
+        np.float32
+    )
+    rows = B8 // 128
+    rng = np.random.RandomState(7)
+    # per-lane noise planes (not broadcast): sharding must split them
+    reset_noise = rng.standard_normal((2, rows, 128)).astype(np.float32)
+    step_noise = np.broadcast_to(
+        noise[2:, None, None], (T, rows, 128)
+    ).astype(np.float32) + rng.standard_normal((T, rows, 128)).astype(
+        np.float32
+    )
+
+    pcfg = PallasRolloutConfig(
+        n_steps=T, block_rows=1, t_chunk=4, deterministic=True,
+        exogenous_noise=True, autoreset=False, controller="bb",
+        det_meal_times=(3,), det_meal_amounts=(30.0,),
+    )
+    ref = make_pallas_rollout(pcfg, B8, interpret=True)(
+        packed, 0, reset_noise, step_noise
+    )
+
+    mesh = make_mesh(dp=8, tp=1)
+    spec = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(None, "dp")
+    )
+    run = make_sharded_pallas_rollout(pcfg, B8, mesh, interpret=True)
+    got = run(
+        jax.device_put(packed, spec),
+        0,
+        reset_noise=jax.device_put(jnp.asarray(reset_noise), spec),
+        step_noise=jax.device_put(jnp.asarray(step_noise), spec),
+    )
+    for k in ("BG", "CGM", "insulin", "CHO", "BG0", "CGM0"):
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(ref[k]), rtol=1e-6, err_msg=k
+        )
+    assert len(got["CGM"].sharding.device_set) == 8
+
+
+def test_sharded_wrapper_rejects_missing_inputs():
+    """Unsupported/incomplete sharded configs fail with a clear ValueError
+    at call time, not an opaque trace-time error."""
+    from simglucose_tpu.parallel.sharding import make_mesh
+
+    mesh = make_mesh(dp=8, tp=1)
+    B8 = 8 * 128
+    names = cohort_names(B8)
+    _, packed = _packed(names)
+
+    pcfg = PallasRolloutConfig(
+        n_steps=4, block_rows=1, t_chunk=2, deterministic=True,
+        exogenous_noise=True, autoreset=False,
+    )
+    run = make_sharded_pallas_rollout(pcfg, B8, mesh, interpret=True)
+    with pytest.raises(ValueError, match="exogenous_noise config needs"):
+        run(packed, 0)
+
+    ncfg = PallasRolloutConfig(
+        n_steps=4, block_rows=1, t_chunk=2, deterministic=True,
+        controller="nn", nn_hidden=8,
+    )
+    nrun = make_sharded_pallas_rollout(ncfg, B8, mesh, interpret=True)
+    with pytest.raises(ValueError, match="'nn' config needs weights"):
+        nrun(packed, 0)
+
+    with pytest.raises(ValueError, match="must divide"):
+        make_sharded_pallas_rollout(pcfg, 8 * 128 + 64, mesh, interpret=True)
+
+
 def test_exogenous_noise_matches_env_exactly():
     """NONZERO noise, exact parity: the kernel consumes the same
     MT19937-bit-exact reference noise stream the env path does

@@ -43,7 +43,7 @@ def main():
     cfg = PPOConfig(rollout_steps=T, epochs=2, minibatches=4)
     hidden = 64
     policy = init_policy(
-        jax.random.fold_in(key, 1), hidden=hidden,
+        jax.random.fold_in(key, 1), hidden=hidden, act="relu",
         init_log_std=cfg.init_log_std, init_mu_bias=-2.2,
     )
     ts = init_fused_state(policy, make_optimizer(cfg).init(policy), B, key)
