@@ -1,5 +1,6 @@
 #!/usr/bin/env python
-"""Headline benchmark: env-steps/s on one chip at a 4096-patient batch.
+"""Headline benchmark: env-steps/s on one chip at a 4096-patient batch,
+plus the fused-PPO training throughput (BASELINE config 4).
 
 Config 3 of BASELINE.json: 4096 auto-resetting patients with native CGM
 noise, random meal scenarios, risk-diff reward, PID controller, on the
@@ -15,6 +16,18 @@ config is distribution-validated against it (tests/test_pallas_rollout.py,
 BASELINE.md).  If the pallas path is unavailable (e.g. non-TPU backend),
 falls back to the general XLA scan path — same simulator semantics.
 
+LAW ASSERTIONS: every bench run regression-tests the benched configuration
+against the distributional invariants cross-validated in BASELINE.md
+(PID config: BG mean band, done rate band, CGM-BG residual std near the
+Johnson-SU scale, CHO/day band — reference laws sensor/noise_gen.py:15-69,
+scenario_gen.py:33-60).  A kernel regression that clamps BG, drops meals,
+or zeroes the noise FAILS the bench instead of posting a fast wrong number.
+
+The fused-PPO section times the full training iteration (pallas 'nn' actor
+with the policy MLP on the MXU inside the kernel + XLA learner,
+rl/fused.py) through the scanned train loop — the analog of the reference's
+only end-to-end RL run (examples/run_rllab.py:1-43).
+
 Measurement notes: over the remote-TPU (axon) tunnel, jax's
 block_until_ready returns before execution completes, so the timed region
 chains n_calls rollouts and ends with a HARD host fetch of a result
@@ -22,7 +35,8 @@ scalar — the fetch cannot complete until every chained execution has.
 
 Prints ONE JSON line:
   {"metric": "env_steps_per_sec", "value": N, "unit": "steps/s",
-   "vs_baseline": N/1e6, "path": "pallas"|"xla"}
+   "vs_baseline": N/1e6, "path": "pallas"|"xla",
+   "fused_ppo_steps_per_sec": M, "fused_ppo_iters_per_sec": I}
 vs_baseline is against the 1M env-steps/s/host north star (BASELINE.md).
 """
 import json
@@ -35,6 +49,44 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/simglucose_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 B = 4096
+
+# Fused PPO training config (tools/bench_ppo_fused.py, BASELINE config 4)
+PPO_B = 8192
+PPO_T = 64
+PPO_ITERS = 32
+
+
+def _assert_band(name, value, lo, hi):
+    if not (lo <= value <= hi):
+        raise AssertionError(
+            f"law violation: {name}={value:.4g} outside [{lo}, {hi}] — the "
+            f"benched kernel no longer matches the cross-validated "
+            f"simulator laws (BASELINE.md)"
+        )
+
+
+def _law_stats(traj, sample_time=3):
+    """Device-side distributional stats of a PID-config rollout."""
+    import jax.numpy as jnp
+
+    bg = traj["BG"]
+    steps_per_day = 1440 // sample_time
+    return {
+        "bg_mean": jnp.mean(bg),
+        "done_rate": jnp.mean(traj["done"].astype(jnp.float32)),
+        "resid_std": jnp.std(traj["CGM"] - bg),
+        "cho_per_day": jnp.mean(traj["CHO"]) * sample_time * steps_per_day,
+    }
+
+
+def _check_laws(stats):
+    """PID-config invariant bands, from the round-1 kernel-vs-XLA
+    cross-validation (BASELINE.md: BG mean 203.8, done rate 0.0080,
+    CGM-BG residual std 11.47, CHO/day ~220 g)."""
+    _assert_band("bg_mean", stats["bg_mean"], 170.0, 240.0)
+    _assert_band("done_rate", stats["done_rate"], 0.003, 0.020)
+    _assert_band("resid_std", stats["resid_std"], 8.0, 15.0)
+    _assert_band("cho_per_day", stats["cho_per_day"], 160.0, 280.0)
 
 
 def bench_pallas():
@@ -74,6 +126,8 @@ def bench_pallas():
         packed = jax.device_put(packed)
         run = jax.jit(make_pallas_rollout(pcfg, Bg))
 
+    stats_fn = jax.jit(_law_stats, static_argnums=1)
+
     traj = run(packed, 0)
     _ = float(np.asarray(traj["reward"][-1])[0])  # drain pipeline
 
@@ -88,7 +142,58 @@ def bench_pallas():
         toc = time.perf_counter()
         assert np.isfinite(final).all()
         best = max(best, Bg * T * n_calls / (toc - tic))
+
+    # law regression gate on the exact benched configuration (hw PRNG):
+    # a seeded violation fails the bench rather than posting a headline
+    stats = {k: float(v) for k, v in stats_fn(traj, pcfg.sample_time).items()}
+    _check_laws(stats)
     return best
+
+
+def bench_fused_ppo():
+    """Fused PPO training iteration (BASELINE config 4): pallas 'nn' actor
+    (policy MLP inside the kernel, persistent episode state) + XLA learner,
+    B=8192, T=64, epochs=2, mb=4, measured through the scanned train loop
+    (make_fused_train_loop — one dispatch per PPO_ITERS iterations)."""
+    from simglucose_tpu.envs.build import cohort_names, make_env
+    from simglucose_tpu.models.uva_padova import basal_rate
+    from simglucose_tpu.ops.pallas_rollout import pack_params
+    from simglucose_tpu.rl.fused import init_fused_state, make_fused_train_loop
+    from simglucose_tpu.rl.policy import init_policy
+    from simglucose_tpu.rl.ppo import PPOConfig, make_optimizer
+
+    _, params = make_env(cohort_names(PPO_B), batch=True, dtype=np.float32)
+    packed = pack_params(params.patient, basal_rate(params.patient))
+    key = jax.random.PRNGKey(0)
+    cfg = PPOConfig(rollout_steps=PPO_T, epochs=2, minibatches=4)
+    hidden = 64
+    policy = init_policy(
+        jax.random.fold_in(key, 1), hidden=hidden, act="relu",
+        init_log_std=cfg.init_log_std, init_mu_bias=-2.2,
+    )
+    ts = init_fused_state(policy, make_optimizer(cfg).init(policy), PPO_B, key)
+    loop = jax.jit(
+        make_fused_train_loop(cfg, PPO_B, PPO_ITERS, hidden=hidden),
+        donate_argnums=(1,),
+    )
+
+    ts, m = loop(packed, ts)
+    _ = float(m["reward_mean"][-1])  # drain compile + pipeline
+
+    best = 0.0
+    for _ in range(2):
+        tic = time.perf_counter()
+        ts, m = loop(packed, ts)
+        final = float(m["reward_mean"][-1])  # hard fetch == true barrier
+        toc = time.perf_counter()
+        assert np.isfinite(final)
+        best = max(best, PPO_ITERS / (toc - tic))
+    # training-side sanity: every iteration produced finite metrics and the
+    # envs are actually running (nonzero episode terminations at the
+    # cold-start policy is the expected law)
+    for k, v in m.items():
+        assert np.isfinite(np.asarray(v)).all(), f"non-finite metric {k}"
+    return best * PPO_B * PPO_T, best
 
 
 def bench_xla():
@@ -131,20 +236,30 @@ def main():
     path = "pallas"
     try:
         sps = bench_pallas()
+    except AssertionError:
+        raise  # law violations are bench FAILURES, not fallbacks
     except Exception:  # non-TPU backend, Mosaic unavailable, ...
         path = "xla"
         sps = bench_xla()
-    print(
-        json.dumps(
-            {
-                "metric": "env_steps_per_sec",
-                "value": round(sps),
-                "unit": "steps/s",
-                "vs_baseline": round(sps / 1e6, 3),
-                "path": path,
-            }
-        )
-    )
+    out = {
+        "metric": "env_steps_per_sec",
+        "value": round(sps),
+        "unit": "steps/s",
+        "vs_baseline": round(sps / 1e6, 3),
+        "path": path,
+    }
+    if path == "pallas":
+        try:
+            fused_sps, fused_ips = bench_fused_ppo()
+            out["fused_ppo_steps_per_sec"] = round(fused_sps)
+            out["fused_ppo_iters_per_sec"] = round(fused_ips, 3)
+            out["fused_ppo_batch"] = PPO_B
+            out["fused_ppo_rollout_steps"] = PPO_T
+        except AssertionError:
+            raise
+        except Exception as e:  # pragma: no cover - diagnostic passthrough
+            out["fused_ppo_error"] = f"{type(e).__name__}: {e}"[:200]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
