@@ -129,6 +129,15 @@ class PallasRolloutConfig:
     deterministic: bool = False
     det_meal_times: tuple = ()
     det_meal_amounts: tuple = ()
+    # scenario law for the STOCHASTIC config (ignored when deterministic):
+    # 'random' — per-lane daily meal plans redrawn at midnight (the
+    # reference RandomScenario, scenario_gen.py:10-73); 'static' — the
+    # det_meal_times/det_meal_amounts schedule (absolute episode minutes),
+    # i.e. a CustomScenario (scenario.py:21-45) WITH CGM noise / random
+    # init BG / resets still active — this is how simulate() keeps custom
+    # meal scenarios on the kernel fast path.  Under autoreset the schedule
+    # replays from each new episode's minute 0.
+    scenario_kind: str = "random"
     # 'hw': TPU hardware PRNG (fastest; real TPUs only).  'sw': counter-based
     # in-kernel generator (murmur-mix over lane/seed/call indices) — same
     # stochastic law, works in CPU interpret mode, so the stochastic kernel
@@ -535,8 +544,13 @@ def _reset_values(
         f["start_min"] = jnp.zeros(shape, jnp.int32)
     else:
         if with_plan:
-            mt, ma = _draw_meal_plan(cfg, rng, shape)
-            f["meal_t"], f["meal_a"] = mt, ma
+            if cfg.scenario_kind == "static":
+                # custom schedule lives in cfg.det_meal_*; no plan draw
+                f["meal_t"] = [jnp.full(shape, -1.0)] * 6
+                f["meal_a"] = [zero] * 6
+            else:
+                mt, ma = _draw_meal_plan(cfg, rng, shape)
+                f["meal_t"], f["meal_a"] = mt, ma
         if cfg.fixed_start_min >= 0:
             f["start_min"] = jnp.full(shape, cfg.fixed_start_min, jnp.int32)
         else:
@@ -808,14 +822,19 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
             # midnight regen is observationally exact because no meal slot
             # can fire before 5 am (see PallasRolloutConfig.regen_every) ----
             if not cfg.deterministic and i_step % cfg.regen_every == 0:
-                mins_last = start_min + t_min + (st - 1)
-                day_end = mins_last // MINUTES_PER_DAY
-                regen = (day_end > day).astype(jnp.float32)
-                new_t, new_a = _draw_meal_plan(cfg, rng, shape)
-                for s in range(6):
-                    meal_t[s] = regen * new_t[s] + (1.0 - regen) * meal_t[s]
-                    meal_a[s] = regen * new_a[s] + (1.0 - regen) * meal_a[s]
-                day = jnp.maximum(day, day_end)
+                if cfg.scenario_kind == "random":
+                    mins_last = start_min + t_min + (st - 1)
+                    day_end = mins_last // MINUTES_PER_DAY
+                    regen = (day_end > day).astype(jnp.float32)
+                    new_t, new_a = _draw_meal_plan(cfg, rng, shape)
+                    for s in range(6):
+                        meal_t[s] = (
+                            regen * new_t[s] + (1.0 - regen) * meal_t[s]
+                        )
+                        meal_a[s] = (
+                            regen * new_a[s] + (1.0 - regen) * meal_a[s]
+                        )
+                    day = jnp.maximum(day, day_end)
                 # refresh the auto-reset draw cache at the same cadence
                 if cfg.autoreset:
                     rc = _reset_values(cfg, rng, x0, shape, with_plan=False)
@@ -846,7 +865,7 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
 
             for m in range(st):
                 # meal for this minute (first-match lookup, scenario.py:37-42)
-                if cfg.deterministic:
+                if cfg.deterministic or cfg.scenario_kind == "static":
                     meal = jnp.zeros(shape, jnp.float32)
                     # static schedule: absolute episode minute -> grams (the
                     # exogenous meal_seq / CustomScenario analog)
@@ -1071,6 +1090,15 @@ def make_pallas_rollout(cfg: PallasRolloutConfig, batch: int, interpret: bool = 
                          "noise planes (use deterministic mode for parity)")
     if cfg.nn_hidden % 8:
         raise ValueError("nn_hidden must be a multiple of 8 (sublane tile)")
+    if cfg.scenario_kind not in ("random", "static"):
+        raise ValueError(
+            f"scenario_kind must be 'random' or 'static'; "
+            f"got {cfg.scenario_kind!r}"
+        )
+    if len(cfg.det_meal_times) != len(cfg.det_meal_amounts):
+        raise ValueError(
+            "det_meal_times and det_meal_amounts must have the same length"
+        )
     if cfg.reward_kind not in ("risk_diff", "neg_risk"):
         raise ValueError(
             f"reward_kind must be 'risk_diff' or 'neg_risk'; "

@@ -106,7 +106,13 @@ def _pallas_eligible(
     if scenario is not None and not (
         isinstance(scenario, str) and scenario == "random"
     ):
-        return "custom meal scenarios"
+        # custom scenarios ride the kernel's static meal schedule
+        # (scenario_kind='static', ops/pallas_rollout.py) as long as they
+        # parse to the reference MealSpec forms (scenario.py:48-59)
+        try:
+            parse_meal_times(scenario, datetime(2018, 1, 1))
+        except (TypeError, ValueError):
+            return "an unparseable custom scenario"
     if animate:
         return "animate=True (incremental host rendering)"
     if substeps != 1:
@@ -148,6 +154,7 @@ def _simulate_pallas(
     start_time,
     sample_time_check=None,
     interpret=False,
+    scenario=None,
 ):
     """Cohort simulation on the single-kernel in-VMEM pallas engine
     (~40x the XLA scan path; see ops/pallas_rollout.py).  Fixed horizon, no
@@ -196,6 +203,17 @@ def _simulate_pallas(
         )
     elif "target" in ctrl_kwargs:
         ctrl_fields = dict(bb_target=float(ctrl_kwargs["target"]))
+    scenario_fields = {}
+    if scenario is not None and not isinstance(scenario, str):
+        # CustomScenario -> the kernel's static meal schedule (absolute
+        # episode minutes; noise/init randomness unaffected) — the fast-path
+        # analog of the reference CustomScenario (scenario.py:21-45)
+        t_arr, a_arr = parse_meal_times(scenario, start_time)
+        scenario_fields = dict(
+            scenario_kind="static",
+            det_meal_times=tuple(int(t) for t in t_arr),
+            det_meal_amounts=tuple(float(a) for a in a_arr),
+        )
     cfg = config_for_sensor(
         cgm_name,
         n_steps=n_steps,
@@ -206,6 +224,7 @@ def _simulate_pallas(
         # CPU interpret mode (tests) with the same stochastic laws
         prng="hw" if jax.default_backend() == "tpu" else "sw",
         **ctrl_fields,
+        **scenario_fields,
         inc_basal=float(pump["inc_basal"]),
         min_basal=float(pump["min_basal"]),
         max_basal=float(pump["max_basal"]),
@@ -366,6 +385,7 @@ def simulate(
             random_init_bg,
             seed,
             start_time,
+            scenario=scenario,
         )
         logger.info(
             "Simulation of %d patients x %s took %.3f s (pallas engine)",

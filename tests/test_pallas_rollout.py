@@ -392,6 +392,100 @@ def test_exogenous_noise_matches_env_exactly():
     )
 
 
+def test_static_scenario_stochastic_path_matches_env_exactly():
+    """scenario_kind='static' (the custom-scenario fast path): the
+    STOCHASTIC kernel code path with a static meal schedule and exogenous
+    reference noise must match the env path exactly — meals AND noise on.
+    This is the parity contract behind simulate(scenario=[(h, g), ...])
+    staying on the kernel (reference CustomScenario, scenario.py:21-45)."""
+    from simglucose_tpu.compat.noise import reference_cgm_noise
+    from simglucose_tpu.params import sensor_record
+
+    names = cohort_names(B)
+    quest = load_quest_params(names, dtype=np.float32)
+    env_params, packed = _packed(names, quest=quest)
+
+    T = 12
+    meal_times = (3, 10)
+    meal_amounts = (30.0, 25.0)
+    noise = reference_cgm_noise(sensor_record("Dexcom"), 1, T + 2).astype(
+        np.float32
+    )
+    rows = B // 128
+    bc = lambda a: np.broadcast_to(a[:, None, None], (len(a), rows, 128))
+
+    pcfg = PallasRolloutConfig(
+        n_steps=T, block_rows=1, t_chunk=4,
+        deterministic=False, scenario_kind="static", prng="sw",
+        exogenous_noise=True, autoreset=False, random_init_bg=False,
+        fixed_start_min=0, controller="bb",
+        det_meal_times=meal_times, det_meal_amounts=meal_amounts,
+    )
+    run = make_pallas_rollout(pcfg, B, interpret=True)
+    traj_p = run(packed, 0, bc(noise[:2]), bc(noise[2:]))
+
+    meal_seq = np.zeros(T * 3 + 1, np.float32)
+    for t, a in zip(meal_times, meal_amounts):
+        meal_seq[t] = a
+    cfg, params = make_env(
+        names,
+        batch=True,
+        dtype=np.float32,
+        scenario_mode="exogenous",
+        meal_seq=meal_seq,
+        noise_seq=noise,
+        substeps=1,
+        method="rk4",
+    )
+    ctrl = bb_policy(cfg.sample_time)
+    cs = bb_params(params.patient, quest)
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    state, res = batch_reset(cfg, params, keys, start_min=0)
+    run_env = make_batch_continue_fn(cfg, ctrl, T)
+    _, _, _, traj_e = run_env(params, state, cs, res)
+
+    np.testing.assert_array_equal(
+        np.asarray(traj_p["CHO"]), np.asarray(traj_e.CHO)
+    )
+    np.testing.assert_allclose(
+        np.asarray(traj_p["CGM"]), np.asarray(traj_e.CGM), rtol=2e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(traj_p["BG"]), np.asarray(traj_e.BG), rtol=2e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(traj_p["insulin"]), np.asarray(traj_e.insulin), rtol=1e-6
+    )
+
+
+def test_static_scenario_native_noise_law():
+    """scenario_kind='static' with NATIVE noise ('sw' PRNG, random init BG,
+    autoreset off): meals are exact (static schedule), while the CGM-BG
+    residual follows the Johnson-SU law — the configuration simulate() runs
+    custom scenarios in on TPU."""
+    names = cohort_names(B)
+    _, packed = _packed(names)
+    T = 10
+    pcfg = PallasRolloutConfig(
+        n_steps=T, block_rows=1, t_chunk=5,
+        deterministic=False, scenario_kind="static", prng="sw",
+        autoreset=False, random_init_bg=True, fixed_start_min=0,
+        controller="pid",
+        det_meal_times=(3, 12), det_meal_amounts=(30.0, 25.0),
+    )
+    traj = make_pallas_rollout(pcfg, B, interpret=True)(packed, 5)
+    cho = np.asarray(traj["CHO"])
+    expect = np.zeros((T,), np.float32)
+    expect[1] = 10.0  # 30 g announced over the 3-min step containing min 3
+    expect[4] = 25.0 / 3.0  # min 12 -> step 4
+    np.testing.assert_allclose(cho, expect[:, None] * np.ones((1, B)),
+                               rtol=1e-6)
+    resid = np.asarray(traj["CGM"]) - np.asarray(traj["BG"])
+    # Johnson-SU noise is nonzero and bounded sane (std ~11.5 at Dexcom law)
+    assert 2.0 < resid.std() < 40.0
+    assert np.isfinite(np.asarray(traj["BG"])).all()
+
+
 def test_stochastic_law():
     """Stochastic config: BG stays physiological, meals arrive at the daily
     law's rate, CGM noise has the Johnson-SU scale.  Runs EVERYWHERE: the

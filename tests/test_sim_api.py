@@ -174,7 +174,11 @@ def test_engine_param_validation():
             **kw,
         }
     )
-    assert "scenario" in ok(scenario=[(7.0, 45)])
+    # custom scenarios now ride the kernel's static meal schedule: a
+    # parseable MealSpec is eligible (only the backend blocks on CPU),
+    # an unparseable one is not
+    assert "backend" in ok(scenario=[(7.0, 45)])
+    assert "scenario" in ok(scenario=[("breakfast", 45)])
     assert "animate" in ok(animate=True)
     assert "substeps" in ok(substeps=4)
     assert "dtype" in ok(dtype=np.float64)
@@ -221,6 +225,37 @@ def test_simulate_pallas_multidevice_interpret():
     assert len(sub) == 3  # reset row + 2 steps
     assert np.isfinite(sub.BG.to_numpy()).all()
     assert (sub.CGM.to_numpy() > 0).all()
+
+
+def test_simulate_pallas_custom_scenario_interpret():
+    """Custom meal scenarios stay on the kernel fast path: _simulate_pallas
+    maps the MealSpec onto the kernel's static meal schedule
+    (scenario_kind='static') and the announced meals land in the CHO column
+    at the scheduled minutes (reference CustomScenario semantics,
+    scenario.py:21-45)."""
+    from simglucose_tpu.sim.engine import _simulate_pallas
+
+    names = ["adolescent#001", "adult#003"]
+    # meal at minute 3 -> step 1 at Dexcom's 3-min cadence (2 steps keeps
+    # the 8-device interpret trace affordable; the kernel-level static
+    # schedule is covered in depth by tests/test_pallas_rollout.py)
+    df = _simulate_pallas(
+        names,
+        "Dexcom",
+        "Insulet",
+        "BB",
+        n_steps=2,
+        start_min=0,
+        random_init_bg=False,
+        seed=11,
+        start_time=datetime(2018, 1, 1),
+        interpret=True,
+        scenario=[(0.05, 21.0)],
+    )
+    for name in names:
+        cho = df.loc[name].CHO.to_numpy()  # reset row + 2 steps
+        np.testing.assert_allclose(cho, [0.0, 0.0, 7.0])
+        assert np.isfinite(df.loc[name].BG.to_numpy()).all()
 
 
 def test_engine_auto_small_cohort_uses_xla():
