@@ -1,0 +1,146 @@
+"""Clinical evaluation of glucose controllers on the virtual cohort.
+
+Runs any controller — the clinical therapy baselines (BB, PID) or a trained
+RL policy — through the SAME closed-loop cohort rollout (identical seeds,
+noise streams, and meal scenarios) and reports the reference's published
+per-patient performance statistics: time-in-range percentages, LBGI / HBGI /
+risk index, and BG summary stats (the quantities of the reference's
+``performance_stats.csv``, reference: analysis/report.py:74-133,
+examples/results/2017-12-31_17-46-32/performance_stats.csv:1-2).
+
+This is the harness behind ``examples/eval_ppo.py`` and the CI assertion
+that the shipped PPO checkpoint controls glucose at least as well as the
+PID baseline (tests/test_ppo_eval.py).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from simglucose_tpu.analysis.risk import risk_index
+from simglucose_tpu.core.types import CtrlAction
+from simglucose_tpu.rl.policy import PolicyParams, featurize, policy_apply
+
+
+def policy_controller(params: PolicyParams, action_scale: float = 0.2):
+    """Adapt a trained Gaussian-MLP policy into a functional controller
+    (the deterministic/eval form: basal = sigmoid(mu) * scale, no sampling —
+    how a trained policy would actually be deployed).
+
+    Returns the ``(ctrl_init, ctrl_fn)`` pair every rollout engine accepts
+    (controllers/functional.py), so RL policies drop into ``simulate()``,
+    ``rollout_batch``, and the gym wrappers exactly like BB/PID — the
+    reference's custom-controller extension point
+    (reference: controller/base.py:6-34, examples/apply_customized_controller.py).
+    """
+
+    def policy(state, result):
+        mu, _, _ = policy_apply(params, featurize(result))
+        basal = jax.nn.sigmoid(mu) * action_scale
+        return state, CtrlAction(basal=basal, bolus=jnp.zeros_like(basal))
+
+    return (), policy
+
+
+def cohort_stats(bg: np.ndarray) -> dict:
+    """Per-patient clinical statistics from a BG matrix [B, T] (mg/dL).
+
+    Matches the reference's report quantities: time-in-zone percentages
+    (reference: analysis/report.py:74-92) and whole-trace LBGI/HBGI/RI
+    (reference: analysis/risk.py:5-17 with horizon = full trace, the
+    performance_stats.csv convention)."""
+    bg = np.asarray(bg)
+    T = bg.shape[-1]
+    LBGI, HBGI, RI = (np.asarray(x) for x in risk_index(jnp.asarray(bg), T))
+    return {
+        "BG_mean": bg.mean(axis=-1),
+        "BG_min": bg.min(axis=-1),
+        "BG_max": bg.max(axis=-1),
+        "percent_in_70_180": 100.0 * ((bg >= 70) & (bg <= 180)).mean(axis=-1),
+        "percent_below_70": 100.0 * (bg < 70).mean(axis=-1),
+        "percent_above_180": 100.0 * (bg > 180).mean(axis=-1),
+        "percent_below_50": 100.0 * (bg < 50).mean(axis=-1),
+        "percent_above_250": 100.0 * (bg > 250).mean(axis=-1),
+        "LBGI": LBGI,
+        "HBGI": HBGI,
+        "risk_index": RI,
+    }
+
+
+def evaluate_controller(
+    controller,
+    patient_names,
+    hours: float = 24.0,
+    seed: int = 0,
+    sensor: str = "Dexcom",
+    start_min: int = 0,
+    random_init_bg: bool = False,
+    dtype=np.float32,
+) -> dict:
+    """Closed-loop cohort evaluation of one controller.
+
+    ``controller``: anything :func:`simglucose_tpu.sim.engine.simulate`
+    accepts — 'BB', 'PID', ('PID', {...}), or an ``(init, fn)`` pair such
+    as :func:`policy_controller`'s output.
+
+    Fixed-horizon, no auto-reset (the reference's batch_sim protocol,
+    reference: simulation/sim_engine.py:29-39): excursions beyond the done
+    thresholds stay in the trace and show up in the statistics, exactly as
+    in the published cohort results.
+
+    Returns ``cohort_stats`` plus ``names``, ``BG``/``CGM`` traces [B, T],
+    and mean insulin.  Two controllers evaluated at the same ``seed`` see
+    IDENTICAL noise and meal scenario streams (same threefry key tree) —
+    the comparison is paired, like the reference's fixed-seed batch runs.
+    """
+    from simglucose_tpu.envs.build import make_env
+    from simglucose_tpu.envs.rollout import rollout_batch
+    from simglucose_tpu.sim.engine import _resolve_controller
+
+    if isinstance(patient_names, str):
+        patient_names = [patient_names]
+    patient_names = list(patient_names)
+    B = len(patient_names)
+    cfg, env_params = make_env(
+        patient_names,
+        sensor=sensor,
+        batch=True,
+        dtype=dtype,
+        random_init_bg=random_init_bg,
+    )
+    ctrl_init, ctrl_fn, ctrl_axes = _resolve_controller(
+        controller, cfg, env_params, patient_names, dtype
+    )
+    n_steps = int(hours * 60) // cfg.sample_time
+    keys = jax.random.split(jax.random.PRNGKey(seed), B)
+
+    run = jax.jit(
+        lambda p, k, ci: rollout_batch(
+            cfg, p, k, ci, ctrl_fn, n_steps,
+            start_min=start_min, ctrl_in_axes=ctrl_axes,
+        )
+    )
+    _, reset_res, traj = run(env_params, keys, ctrl_init)
+    bg = np.asarray(traj.BG)  # [B, T]
+    out = cohort_stats(bg)
+    out["names"] = patient_names
+    out["BG"] = bg
+    out["CGM"] = np.asarray(traj.observation.CGM)
+    out["insulin_mean"] = np.asarray(traj.insulin).mean(axis=-1)
+    return out
+
+
+def stats_frame(results: dict):
+    """Per-patient stats dict -> pandas DataFrame (reference
+    performance_stats.csv shape; import-light: pandas only here)."""
+    import pandas as pd
+
+    cols = {
+        k: v
+        for k, v in results.items()
+        if isinstance(v, np.ndarray) and v.ndim == 1
+    }
+    return pd.DataFrame(cols, index=results["names"])

@@ -103,6 +103,7 @@ def make_fused_train_step(
     mesh=None,
     axis: str = "dp",
     reward_kind: str = "risk_diff",
+    continuing: bool = False,
 ):
     """Build the fused PPO iteration: pallas actor + XLA learner.
 
@@ -118,6 +119,18 @@ def make_fused_train_step(
     ``axis`` (patients sharded, weights replicated) and the learner's
     gradient all-reduce over the sharded minibatches is inserted by GSPMD —
     the multi-chip training configuration (BASELINE config 5).
+
+    ``continuing=True`` trains the CONTINUING-task objective: auto-reset is
+    off (a BG excursion is not an exit — the patient stays in the bad state
+    and keeps collecting its reward, exactly like the fixed-horizon
+    clinical evaluation protocol, reference sim_engine.py:29-39), and GAE
+    sees no terminals.  This closes the train/eval mismatch that makes
+    episodic auto-reset training exploitable: with dense negative rewards,
+    dying respawns the patient at a healthy BG, so a policy can farm resets
+    (measured: overdose -> 92% hypo time while the TRAIN reward improves).
+    Thread fresh episodes periodically by setting ``ts.init = 1`` between
+    dispatch blocks (tools/train_ppo_tpu.py re-inits every ~25 simulated
+    hours).
     """
     from simglucose_tpu.ops.pallas_rollout import config_for_sensor
 
@@ -129,6 +142,7 @@ def make_fused_train_step(
         persistent_state=True,
         prng="hw" if not interpret else "sw",
         reward_kind=reward_kind,
+        autoreset=not continuing,
         # the nn config carries 10 trajectory planes + state in/out in
         # VMEM; the default t_chunk=32 lands ~30KB over the 16MB budget.
         # Must divide rollout_steps: pick the largest divisor <= 16.
@@ -168,13 +182,16 @@ def make_fused_train_step(
 
         done = traj["done"]
         reward = traj["reward"] - cfg.done_penalty * done.astype(value.dtype)
+        # continuing task: BG excursions are not value-function terminals —
+        # the state persists and its (bad) future rewards are the signal
+        gae_done = jnp.zeros_like(done) if continuing else done
         tr = Transition(
             obs=obs,
             raw_action=traj["raw"],
             logp=logp,
             value=value,
             reward=reward,
-            done=done,
+            done=gae_done,
         )
         advs, rets = _gae(cfg, tr, last_value)
         params, opt_state, key, aux = _update(

@@ -215,6 +215,37 @@ def test_fused_train_loop_scans_iterations():
     assert np.asarray(ts1.state_i[0]).max() > 0
 
 
+def test_fused_continuing_mode():
+    """continuing=True: auto-reset off in the kernel config, GAE sees no
+    terminals, and episodes thread across iterations until the caller
+    re-inits (the train/eval-matched objective — see make_fused_train_step
+    docs)."""
+    from simglucose_tpu.rl.fused import init_fused_state, make_fused_train_step
+    from simglucose_tpu.rl.ppo import PPOConfig, make_optimizer
+
+    names = cohort_names(B)
+    _, params = make_env(names, batch=True, dtype=np.float32)
+    packed = pack_params(params.patient, basal_rate(params.patient))
+    policy = init_policy(
+        jax.random.PRNGKey(3), hidden=8, init_mu_bias=-1.0, act="relu"
+    )
+    cfg = PPOConfig(rollout_steps=2, epochs=1, minibatches=2)
+    ts = init_fused_state(
+        policy, make_optimizer(cfg).init(policy), B, jax.random.PRNGKey(0)
+    )
+    step = make_fused_train_step(
+        cfg, B, hidden=8, interpret=True, continuing=True,
+        pallas_overrides=dict(block_rows=1, t_chunk=1),
+    )
+    ts1, m = step(packed, ts)
+    assert np.isfinite(float(m["reward_mean"]))
+    # persistent clock advanced; a caller re-init flag threads through
+    assert np.asarray(ts1.state_i[0]).max() > 0
+    assert int(ts1.init) == 0
+    ts2, _ = step(packed, ts1._replace(init=ts1.init + 1))
+    assert np.isfinite(np.asarray(ts2.state_f[12]).mean())
+
+
 def test_neg_risk_reward_kind():
     """reward_kind='neg_risk': the kernel's reward plane must equal
     -RI(CGM)/10 of its own CGM plane (analysis/risk.py law)."""

@@ -143,6 +143,72 @@ WORKER_PPO = textwrap.dedent(
 )
 
 
+WORKER_FUSED = textwrap.dedent(
+    """
+    import os, sys
+    pid, nproc, port, outdir = (
+        int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+    )
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    from simglucose_tpu.parallel.multihost import initialize
+    initialize(f"127.0.0.1:{port}", num_processes=nproc, process_id=pid)
+    assert jax.process_count() == nproc and jax.device_count() == 8
+
+    import numpy as np
+    from simglucose_tpu.envs.build import cohort_names, make_env
+    from simglucose_tpu.models.uva_padova import basal_rate
+    from simglucose_tpu.ops.pallas_rollout import pack_params
+    from simglucose_tpu.parallel.sharding import make_mesh
+    from simglucose_tpu.rl.fused import init_fused_state, make_fused_train_step
+    from simglucose_tpu.rl.policy import init_policy
+    from simglucose_tpu.rl.ppo import PPOConfig, make_optimizer
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    B = 1024  # 128 patients (1 lane row) per device
+    key = jax.random.PRNGKey(0)
+    mesh = make_mesh(dp=8, tp=1)
+    _, params = make_env(cohort_names(B), batch=True, dtype=np.float32)
+    packed = jax.device_put(
+        pack_params(params.patient, basal_rate(params.patient)),
+        NamedSharding(mesh, P(None, "dp")),
+    )
+    cfg = PPOConfig(rollout_steps=2, epochs=1, minibatches=2)
+    policy = init_policy(
+        jax.random.fold_in(key, 1), hidden=8, init_mu_bias=-2.2, act="relu"
+    )
+    ts = init_fused_state(
+        policy, make_optimizer(cfg).init(policy), B, key, mesh=mesh
+    )
+    step = make_fused_train_step(
+        cfg, B, hidden=8, interpret=True, mesh=mesh,
+        pallas_overrides=dict(block_rows=1, t_chunk=1),
+    )
+    with mesh:
+        ts1, m = step(packed, ts)
+    rew = float(m["reward_mean"])
+    assert np.isfinite(rew)
+    # replicated post-update params are fully addressable on every host
+    leaves = [np.asarray(x) for x in jax.tree.leaves(ts1.params)]
+    init_leaves = [np.asarray(x) for x in jax.tree.leaves(policy)]
+    # this host's shard of the persistent simulator state advanced
+    local_ti = np.concatenate([
+        np.asarray(s.data) for s in ts1.state_i[0].addressable_shards
+    ], axis=0)
+    np.savez(
+        os.path.join(outdir, f"fused{pid}.npz"),
+        reward_mean=rew, t_min_max=int(local_ti.max()),
+        **{f"leaf_{i}": a for i, a in enumerate(leaves)},
+        **{f"init_{i}": a for i, a in enumerate(init_leaves)},
+    )
+    print(f"fused proc {pid} OK", flush=True)
+    """
+)
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -194,6 +260,57 @@ def test_two_process_ppo_learner_identical_params(tmp_path):
         )
     assert changed, "train step must actually update the params"
     assert z0["reward_mean"] == z1["reward_mean"]
+
+
+def test_two_process_fused_trainer_identical_params(tmp_path):
+    """The PRODUCTION training path (rl/fused.py: pallas 'nn' actor +
+    XLA learner) across a 2-process gloo dp mesh — BASELINE config 5 at
+    process scope, not just the single-process dryrun.  Both hosts must
+    hold bit-identical replicated post-update params (the GSPMD gradient
+    all-reduce contract), and each host's shard of the persistent
+    simulator state must have advanced (episodes continue across
+    iterations).  Reference analog: sim_engine.py:65-76 scaled across
+    hosts."""
+    port = _free_port()
+    worker = tmp_path / "worker_fused.py"
+    worker.write_text(WORKER_FUSED)
+    outdir = tmp_path / "results"
+    outdir.mkdir()
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), "2", str(port), str(outdir)],
+            env=env,
+            cwd=REPO,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"fused worker failed:\n{out[-3000:]}"
+
+    z0 = np.load(outdir / "fused0.npz")
+    z1 = np.load(outdir / "fused1.npz")
+    n_leaves = len([k for k in z0.files if k.startswith("leaf_")])
+    assert n_leaves > 0
+    changed = False
+    for i in range(n_leaves):
+        np.testing.assert_array_equal(
+            z0[f"leaf_{i}"], z1[f"leaf_{i}"], err_msg=f"leaf {i}"
+        )
+        changed = changed or not np.array_equal(
+            z0[f"leaf_{i}"], z0[f"init_{i}"]
+        )
+    assert changed, "fused train step must actually update the params"
+    assert z0["reward_mean"] == z1["reward_mean"]
+    # persistent kernel state advanced on both hosts' local shards
+    assert int(z0["t_min_max"]) > 0 and int(z1["t_min_max"]) > 0
 
 
 def test_two_process_sharded_rollout_matches_single_process(tmp_path):

@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Train the fused-PPO glucose controller at cohort scale on TPU and ship
+the best checkpoint.
+
+The training loop is rl/fused.py's pallas-actor + XLA-learner iteration
+(BASELINE config 4) at B=8192; every EVAL_EVERY iterations the CURRENT
+policy is evaluated deterministically (mean action) on the full 30-patient
+clinical cohort for 24 h through the XLA env path — the same protocol as
+the committed CI gate (tests/test_ppo_eval.py) and the reference's
+published cohort stats (examples/results/.../performance_stats.csv).  The
+checkpoint with the lowest cohort mean risk index is written to
+examples/checkpoints/ppo_cohort_relu64.npz.
+
+Reference analog: examples/run_rllab.py:1-43 (the reference's only
+end-to-end RL training), scaled to the full cohort with a clinical
+evaluation gate.
+
+Usage: python tools/train_ppo_tpu.py [n_blocks] [iters_per_block]
+"""
+import json
+import os
+import sys
+import time
+
+import jax
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/simglucose_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+B = 8192
+HIDDEN = 64
+CKPT = os.path.join(
+    os.path.dirname(__file__), "..", "examples", "checkpoints",
+    "ppo_cohort_relu64.npz",
+)
+
+
+def cohort_eval(params, hours=24.0, seed=999):
+    # checkpoint selection uses seed 999; the CI gate (tests/test_ppo_eval.py)
+    # judges at an unrelated seed, so selection cannot overfit the gate
+    from simglucose_tpu import params as tables
+    from simglucose_tpu.rl.evaluate import evaluate_controller, policy_controller
+
+    res = evaluate_controller(
+        policy_controller(params), tables.patient_names(), hours=hours,
+        seed=seed,
+    )
+    return res
+
+
+def main():
+    from simglucose_tpu.envs.build import cohort_names, make_env
+    from simglucose_tpu.models.uva_padova import basal_rate
+    from simglucose_tpu.ops.pallas_rollout import pack_params
+    from simglucose_tpu.rl.fused import init_fused_state, make_fused_train_loop
+    from simglucose_tpu.rl.policy import init_policy
+    from simglucose_tpu.rl.ppo import PPOConfig, make_optimizer
+    from simglucose_tpu.utils.checkpoint import save_state
+
+    n_blocks = int(sys.argv[1]) if len(sys.argv) > 1 else 300
+    # 8 iterations x 64 steps x 3 min = 25.6 simulated hours per block:
+    # fresh episodes every block (init=1), eval-horizon-scale training
+    iters_per_block = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+
+    _, params = make_env(cohort_names(B), batch=True, dtype=np.float32)
+    packed = pack_params(params.patient, basal_rate(params.patient))
+    key = jax.random.PRNGKey(0)
+    cfg = PPOConfig(
+        rollout_steps=64, epochs=2, minibatches=4, ent_coef=1e-3, lr=3e-4,
+    )
+    policy = init_policy(
+        jax.random.fold_in(key, 1), hidden=HIDDEN, act="relu",
+        init_log_std=cfg.init_log_std, init_mu_bias=-2.2,
+    )
+    ts = init_fused_state(policy, make_optimizer(cfg).init(policy), B, key)
+    # CONTINUING-task training (rl/fused.py make_fused_train_step docs):
+    # auto-reset off so a BG excursion keeps collecting its own bad rewards
+    # instead of respawning healthy — the episodic form is exploitable
+    # (reset farming: 92% hypo time while train reward improves)
+    loop = jax.jit(
+        make_fused_train_loop(
+            cfg, B, iters_per_block, hidden=HIDDEN, reward_kind="neg_risk",
+            continuing=True,
+        ),
+        donate_argnums=(1,),
+    )
+
+    best_ri = float("inf")
+    r0 = cohort_eval(policy)
+    ri0 = float(r0["risk_index"].mean())
+    print(f"iter 0: cohort RI {ri0:.3f} TIR {r0['percent_in_70_180'].mean():.1f}%",
+          flush=True)
+
+    import jax.numpy as jnp
+
+    EVAL_EVERY = 10  # blocks (= 80 iterations)
+    tic = time.time()
+    for blk in range(n_blocks):
+        # fresh episodes each block: new start hours / init BG / meal plans
+        ts = ts._replace(init=jnp.int32(1))
+        ts, m = loop(packed, ts)
+        i = (blk + 1) * iters_per_block
+        if (blk + 1) % EVAL_EVERY and blk + 1 != n_blocks:
+            continue
+        rew = float(np.asarray(m["reward_mean"])[-1])
+        done = float(np.asarray(m["done_frac"])[-1])
+        ent = float(np.asarray(m["entropy"])[-1])
+        res = cohort_eval(ts.params)
+        ri = float(res["risk_index"].mean())
+        tir = float(res["percent_in_70_180"].mean())
+        hypo = float(res["percent_below_70"].mean())
+        marker = ""
+        if ri < best_ri:
+            best_ri = ri
+            save_state(CKPT, jax.device_get(ts.params))
+            marker = "  <- checkpoint"
+        print(
+            f"iter {i:5d}: train rew {rew:+.4f} done {done:.4f} ent {ent:.3f}"
+            f" | cohort RI {ri:.3f} TIR {tir:.1f}% hypo {hypo:.2f}%{marker}",
+            flush=True,
+        )
+    wall = time.time() - tic
+    print(json.dumps({
+        "iters": n_blocks * iters_per_block,
+        "env_steps": n_blocks * iters_per_block * B * 64,
+        "wall_s": round(wall, 1),
+        "ri_start": ri0,
+        "ri_best": best_ri,
+        "ckpt": os.path.abspath(CKPT),
+    }))
+
+
+if __name__ == "__main__":
+    main()
