@@ -90,6 +90,13 @@ class PallasRolloutConfig:
     controller: str = "pid"
     nn_hidden: int = 64  # MLP width ('nn' controller); 64 or 128
     nn_action_scale: float = 0.2  # basal = sigmoid(raw) * scale (policy.py)
+    # scale the 'nn' action by the patient's own basal rate (u2ss*BW/6000,
+    # the plane pack_params already ships): basal = sigmoid(raw) * scale *
+    # patient_basal — one policy output means the same THERAPY INTENSITY for
+    # a 25 kg child and a 110 kg adult (cohort basals span ~6x).  The
+    # deploy-side analog is policy_controller(..., basal=...) in
+    # rl/evaluate.py.
+    nn_scale_by_basal: bool = False
     # persistent_state=True: the full simulator state streams in/out of the
     # kernel as HBM arrays instead of living in per-call scratch, so
     # consecutive calls CONTINUE episodes (the PPO trainer's env-state carry
@@ -779,6 +786,8 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
                 # squashed Gaussian -> basal (rl/policy.py sample_action),
                 # then pump quantization (actuator/pump.py:32-39)
                 basal_cmd = cfg.nn_action_scale / (1.0 + jnp.exp(-raw))
+                if cfg.nn_scale_by_basal:
+                    basal_cmd = basal_cmd * basal_rate_u
                 insulin = _quantize(
                     basal_cmd, cfg.inc_basal, cfg.min_basal, cfg.max_basal
                 )

@@ -25,7 +25,11 @@ from simglucose_tpu.core.types import CtrlAction
 from simglucose_tpu.rl.policy import PolicyParams, featurize, policy_apply
 
 
-def policy_controller(params: PolicyParams, action_scale: float = 0.2):
+def policy_controller(
+    params: PolicyParams,
+    action_scale: float = 0.2,
+    basal: Optional[jnp.ndarray] = None,
+):
     """Adapt a trained Gaussian-MLP policy into a functional controller
     (the deterministic/eval form: basal = sigmoid(mu) * scale, no sampling —
     how a trained policy would actually be deployed).
@@ -35,14 +39,30 @@ def policy_controller(params: PolicyParams, action_scale: float = 0.2):
     ``rollout_batch``, and the gym wrappers exactly like BB/PID — the
     reference's custom-controller extension point
     (reference: controller/base.py:6-34, examples/apply_customized_controller.py).
-    """
 
-    def policy(state, result):
+    ``basal`` (per-patient U/min, ``u2ss*BW/6000`` — the BB therapy basal,
+    reference basal_bolus_ctrller.py:64): when given, the emitted rate is
+    ``sigmoid(mu) * action_scale * basal`` — the deploy-side analog of the
+    kernel's ``nn_scale_by_basal`` training config, where one policy output
+    means the same therapy intensity across the ~6x basal span of the
+    cohort.  Returns an ``(init, fn, in_axes)`` triple (the basal array is
+    per-patient controller state)."""
+
+    if basal is None:
+
+        def policy(state, result):
+            mu, _, _ = policy_apply(params, featurize(result))
+            b = jax.nn.sigmoid(mu) * action_scale
+            return state, CtrlAction(basal=b, bolus=jnp.zeros_like(b))
+
+        return (), policy
+
+    def policy_scaled(b_u, result):
         mu, _, _ = policy_apply(params, featurize(result))
-        basal = jax.nn.sigmoid(mu) * action_scale
-        return state, CtrlAction(basal=basal, bolus=jnp.zeros_like(basal))
+        b = jax.nn.sigmoid(mu) * action_scale * b_u
+        return b_u, CtrlAction(basal=b, bolus=jnp.zeros_like(b))
 
-    return (), policy
+    return jnp.asarray(basal), policy_scaled, 0
 
 
 def cohort_stats(bg: np.ndarray) -> dict:

@@ -104,6 +104,7 @@ def make_fused_train_step(
     axis: str = "dp",
     reward_kind: str = "risk_diff",
     continuing: bool = False,
+    reward_fn=None,
 ):
     """Build the fused PPO iteration: pallas actor + XLA learner.
 
@@ -131,6 +132,13 @@ def make_fused_train_step(
     Thread fresh episodes periodically by setting ``ts.init = 1`` between
     dispatch blocks (tools/train_ppo_tpu.py re-inits every ~25 simulated
     hours).
+
+    ``reward_fn(traj) -> [T, B] reward`` recomputes the training reward in
+    XLA from the kernel's trajectory planes (CGM/BG/CHO/insulin/done),
+    overriding the kernel's built-in ``reward_kind`` — arbitrary shaped
+    training objectives (e.g. hypo-weighted risk) without kernel changes.
+    The reference's pluggable ``reward_fun`` (simulation/env.py:100-102)
+    at trainer scope; costs one fused elementwise pass over [T, B].
     """
     from simglucose_tpu.ops.pallas_rollout import config_for_sensor
 
@@ -181,7 +189,10 @@ def make_fused_train_step(
         _, _, last_value = policy_apply(ts.params, tail_obs)
 
         done = traj["done"]
-        reward = traj["reward"] - cfg.done_penalty * done.astype(value.dtype)
+        base_reward = (
+            traj["reward"] if reward_fn is None else reward_fn(traj)
+        )
+        reward = base_reward - cfg.done_penalty * done.astype(value.dtype)
         # continuing task: BG excursions are not value-function terminals —
         # the state persists and its (bad) future rewards are the signal
         gae_done = jnp.zeros_like(done) if continuing else done

@@ -77,9 +77,14 @@ def _resolve_controller(controller, cfg, env_params, patient_names, dtype):
     if isinstance(controller, tuple) and len(controller) == 2:
         init, fn = controller
         return init, fn, None
+    if isinstance(controller, tuple) and len(controller) == 3:
+        # (init, policy, in_axes): per-patient controller state (e.g.
+        # rl/evaluate.policy_controller with basal scaling)
+        return controller
     raise ValueError(
         f"controller must be 'BB', 'PID' (optionally ('PID', kwargs) / "
-        f"{{'PID': kwargs}}), or an (init, policy) pair; got {controller!r}"
+        f"{{'PID': kwargs}}), an (init, policy) pair, or an "
+        f"(init, policy, in_axes) triple; got {controller!r}"
     )
 
 

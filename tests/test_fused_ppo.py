@@ -42,12 +42,15 @@ def test_nn_controller_matches_xla_policy_rollout():
     packed = pack_params(params.patient, basal_rate(params.patient))
     policy = _policy()
 
-    T = 8
+    # interpret-mode cost is dominated by tracing the unrolled t_chunk
+    # body: keep T small but >= 2 chunks so chunk-boundary state carry is
+    # still covered
+    T = 4
     meal_times = (3, 10)
     meal_amounts = (30.0, 25.0)
     scale = 0.2
     pcfg = PallasRolloutConfig(
-        n_steps=T, block_rows=1, t_chunk=4, deterministic=True,
+        n_steps=T, block_rows=1, t_chunk=2, deterministic=True,
         controller="nn", nn_hidden=H, nn_action_scale=scale,
         det_meal_times=meal_times, det_meal_amounts=meal_amounts,
     )
@@ -137,13 +140,13 @@ def test_fused_train_step_runs_and_carries_state():
     _, params = make_env(names, batch=True, dtype=np.float32)
     packed = pack_params(params.patient, basal_rate(params.patient))
     policy = _policy(1)
-    cfg = PPOConfig(rollout_steps=8, epochs=1, minibatches=2)
+    cfg = PPOConfig(rollout_steps=4, epochs=1, minibatches=2)
     ts = init_fused_state(
         policy, make_optimizer(cfg).init(policy), B, jax.random.PRNGKey(0)
     )
     step = make_fused_train_step(
         cfg, B, hidden=H, interpret=True,
-        pallas_overrides=dict(block_rows=1, t_chunk=4),
+        pallas_overrides=dict(block_rows=1, t_chunk=2),
     )
     ts1, m1 = step(packed, ts)
     for k, v in m1.items():

@@ -43,9 +43,9 @@ def test_deterministic_matches_env_exactly():
     names = cohort_names(B)
     env_params, packed = _packed(names)
 
-    T = 8
+    T = 6
     pcfg = PallasRolloutConfig(
-        n_steps=T, block_rows=1, t_chunk=4, deterministic=True,
+        n_steps=T, block_rows=1, t_chunk=3, deterministic=True,
         controller="pid",
     )
     run = make_pallas_rollout(pcfg, B, interpret=True)
@@ -102,11 +102,11 @@ def test_deterministic_bb_with_meals_matches_env_exactly():
     quest = load_quest_params(names, dtype=np.float32)
     env_params, packed = _packed(names, quest=quest)
 
-    T = 20
+    T = 12
     meal_times = (3, 10)  # absolute episode minutes
     meal_amounts = (30.0, 25.0)  # grams (30 g -> 6 min of EAT_RATE eating)
     pcfg = PallasRolloutConfig(
-        n_steps=T, block_rows=1, t_chunk=4, deterministic=True,
+        n_steps=T, block_rows=1, t_chunk=3, deterministic=True,
         controller="bb",
         det_meal_times=meal_times, det_meal_amounts=meal_amounts,
     )
@@ -161,9 +161,9 @@ def test_deterministic_other_sensors_match_env(sensor):
     names = cohort_names(B)
     env_params, packed = _packed(names)
 
-    T = 6
+    T = 4
     pcfg = config_for_sensor(
-        sensor, n_steps=T, block_rows=1, t_chunk=3, deterministic=True,
+        sensor, n_steps=T, block_rows=1, t_chunk=2, deterministic=True,
         controller="pid",
     )
     run = make_pallas_rollout(pcfg, B, interpret=True)
@@ -249,7 +249,7 @@ def test_sharded_exogenous_noise_matches_unsharded():
     quest = load_quest_params(names, dtype=np.float32)
     _, packed = _packed(names, quest=quest)
 
-    T = 8
+    T = 4
     noise = reference_cgm_noise(sensor_record("Dexcom"), 1, T + 2).astype(
         np.float32
     )
@@ -264,7 +264,7 @@ def test_sharded_exogenous_noise_matches_unsharded():
     )
 
     pcfg = PallasRolloutConfig(
-        n_steps=T, block_rows=1, t_chunk=4, deterministic=True,
+        n_steps=T, block_rows=1, t_chunk=2, deterministic=True,
         exogenous_noise=True, autoreset=False, controller="bb",
         det_meal_times=(3,), det_meal_amounts=(30.0,),
     )
@@ -333,7 +333,7 @@ def test_exogenous_noise_matches_env_exactly():
     quest = load_quest_params(names, dtype=np.float32)
     env_params, packed = _packed(names, quest=quest)
 
-    T = 12
+    T = 8
     meal_times = (3, 10)
     meal_amounts = (30.0, 25.0)
     noise = reference_cgm_noise(sensor_record("Dexcom"), 1, T + 2).astype(
@@ -343,7 +343,7 @@ def test_exogenous_noise_matches_env_exactly():
     bc = lambda a: np.broadcast_to(a[:, None, None], (len(a), rows, 128))
 
     pcfg = PallasRolloutConfig(
-        n_steps=T, block_rows=1, t_chunk=4, deterministic=True,
+        n_steps=T, block_rows=1, t_chunk=2, deterministic=True,
         exogenous_noise=True, autoreset=False, controller="bb",
         det_meal_times=meal_times, det_meal_amounts=meal_amounts,
     )
@@ -405,7 +405,7 @@ def test_static_scenario_stochastic_path_matches_env_exactly():
     quest = load_quest_params(names, dtype=np.float32)
     env_params, packed = _packed(names, quest=quest)
 
-    T = 12
+    T = 8
     meal_times = (3, 10)
     meal_amounts = (30.0, 25.0)
     noise = reference_cgm_noise(sensor_record("Dexcom"), 1, T + 2).astype(
@@ -415,7 +415,7 @@ def test_static_scenario_stochastic_path_matches_env_exactly():
     bc = lambda a: np.broadcast_to(a[:, None, None], (len(a), rows, 128))
 
     pcfg = PallasRolloutConfig(
-        n_steps=T, block_rows=1, t_chunk=4,
+        n_steps=T, block_rows=1, t_chunk=2,
         deterministic=False, scenario_kind="static", prng="sw",
         exogenous_noise=True, autoreset=False, random_init_bg=False,
         fixed_start_min=0, controller="bb",
@@ -465,9 +465,9 @@ def test_static_scenario_native_noise_law():
     custom scenarios in on TPU."""
     names = cohort_names(B)
     _, packed = _packed(names)
-    T = 10
+    T = 6
     pcfg = PallasRolloutConfig(
-        n_steps=T, block_rows=1, t_chunk=5,
+        n_steps=T, block_rows=1, t_chunk=3,
         deterministic=False, scenario_kind="static", prng="sw",
         autoreset=False, random_init_bg=True, fixed_start_min=0,
         controller="pid",

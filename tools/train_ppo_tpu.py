@@ -38,15 +38,18 @@ CKPT = os.path.join(
 )
 
 
-def cohort_eval(params, hours=24.0, seed=999):
+def cohort_eval(params, action_scale, hours=24.0, seed=999):
     # checkpoint selection uses seed 999; the CI gate (tests/test_ppo_eval.py)
     # judges at an unrelated seed, so selection cannot overfit the gate
     from simglucose_tpu import params as tables
+    from simglucose_tpu.models.uva_padova import basal_rate
     from simglucose_tpu.rl.evaluate import evaluate_controller, policy_controller
 
+    names = tables.patient_names()
+    basal = basal_rate(tables.load_patient_params(names, dtype=np.float32))
     res = evaluate_controller(
-        policy_controller(params), tables.patient_names(), hours=hours,
-        seed=seed,
+        policy_controller(params, action_scale=action_scale, basal=basal),
+        names, hours=hours, seed=seed,
     )
     return res
 
@@ -68,8 +71,23 @@ def main():
     _, params = make_env(cohort_names(B), batch=True, dtype=np.float32)
     packed = pack_params(params.patient, basal_rate(params.patient))
     key = jax.random.PRNGKey(0)
+    lr = float(os.environ.get("PPO_LR", 3e-4))
+    ent = float(os.environ.get("PPO_ENT", 1e-3))
+    ils = float(os.environ.get("PPO_INIT_LOG_STD", -0.5))
+    # action = sigmoid(raw) * action_scale * patient_basal (the kernel's
+    # nn_scale_by_basal config): 10x the patient's own basal covers BB-bolus
+    # intensity while one policy output means the same therapy intensity
+    # across the cohort's ~6x basal span.  The -2.2 cold-start bias lands
+    # the initial action AT ~1x basal — the clinically neutral start.
+    scale = float(os.environ.get("PPO_ACTION_SCALE", 10.0))
+    lam = float(os.environ.get("PPO_LAM", 0.98))
     cfg = PPOConfig(
-        rollout_steps=64, epochs=2, minibatches=4, ent_coef=1e-3, lr=3e-4,
+        rollout_steps=64, epochs=2, minibatches=4, ent_coef=ent, lr=lr,
+        init_log_std=ils, action_scale=scale,
+        # insulin acts with a 30-60 min lag (10-20 steps at Dexcom cadence):
+        # gamma*lam must keep the hypo consequence of an overdose inside the
+        # GAE credit horizon, or training drifts toward over-dosing
+        lam=lam,
     )
     policy = init_policy(
         jax.random.fold_in(key, 1), hidden=HIDDEN, act="relu",
@@ -80,16 +98,37 @@ def main():
     # auto-reset off so a BG excursion keeps collecting its own bad rewards
     # instead of respawning healthy — the episodic form is exploitable
     # (reset farming: 92% hypo time while train reward improves)
+    import jax.numpy as jnp
+
+    from simglucose_tpu.analysis.risk import risk_scalar
+
+    def hypo_weighted_reward(traj):
+        # the Magni risk is nearly symmetric (BG 50 and BG 250 score the
+        # same ~22), so a symmetric objective lets the learner trade hypo
+        # for hyper freely — clinically wrong and, measured, an attractor
+        # (hypo time grows monotonically).  Weight the hypo branch 3x, add
+        # a soft barrier below 90 mg/dL (always-sloped even where the CGM
+        # clamp at 39 flattens the risk), and clip high enough that the
+        # floor is never the active constraint.
+        cgm = traj["CGM"]
+        lb, hb, _ = risk_scalar(cgm)
+        barrier = 0.15 * jnp.maximum(90.0 - cgm, 0.0)
+        return -jnp.minimum(hb + 3.0 * lb, 400.0) / 10.0 - barrier
+
     loop = jax.jit(
         make_fused_train_loop(
             cfg, B, iters_per_block, hidden=HIDDEN, reward_kind="neg_risk",
-            continuing=True,
+            continuing=True, reward_fn=hypo_weighted_reward,
+            # the continuing config schedules ~1.2MB over the 16MB scoped
+            # VMEM budget at the default t_chunk=16; halving the trajectory
+            # block fits with headroom
+            pallas_overrides=dict(t_chunk=8, nn_scale_by_basal=True),
         ),
         donate_argnums=(1,),
     )
 
     best_ri = float("inf")
-    r0 = cohort_eval(policy)
+    r0 = cohort_eval(policy, scale)
     ri0 = float(r0["risk_index"].mean())
     print(f"iter 0: cohort RI {ri0:.3f} TIR {r0['percent_in_70_180'].mean():.1f}%",
           flush=True)
@@ -108,7 +147,7 @@ def main():
         rew = float(np.asarray(m["reward_mean"])[-1])
         done = float(np.asarray(m["done_frac"])[-1])
         ent = float(np.asarray(m["entropy"])[-1])
-        res = cohort_eval(ts.params)
+        res = cohort_eval(ts.params, scale)
         ri = float(res["risk_index"].mean())
         tir = float(res["percent_in_70_180"].mean())
         hypo = float(res["percent_below_70"].mean())
