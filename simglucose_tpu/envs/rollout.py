@@ -17,6 +17,7 @@ Two engines:
 """
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 from typing import Any, Optional, Tuple
 
@@ -34,6 +35,62 @@ from simglucose_tpu.envs.functional import (
 )
 
 
+def pregen_env(
+    cfg: EnvConfig,
+    params: EnvParams,
+    key: jax.Array,
+    n_steps: int,
+    start_min: jnp.ndarray,
+) -> Tuple[EnvConfig, EnvParams]:
+    """Hoist the state-independent random streams out of the env scan.
+
+    The native CGM-noise chain (ops/noise.py) and the random meal scenario
+    (scenario/meal.py) depend only on (key, sample index / minute) — never
+    on the trajectory — so for a FIXED-horizon rollout both streams can be
+    pregenerated as vectorized planes and the env run in exogenous mode
+    indexing them.  This removes the per-step threefry ``fold_in`` +
+    ``normal`` (erf_inv) and the per-step candidate daily-plan draw (18
+    variates + 12 ndtri/ndtr for a regen that fires once per simulated day)
+    from the scan body, leaving essentially the ODE + device math — the
+    fusion-boundary cost the reference's 1-minute loop pays per step
+    (reference: simulation/sim_engine.py:33-37) collapses into one parallel
+    pregeneration pass.
+
+    The planes reproduce the streaming draws BIT-exactly
+    (noise_pregenerate / meals_pregenerate; key derivation mirrors
+    env_reset's split), and the produced trajectories match the streaming
+    path to within XLA fusion/FMA-contraction ulps (~1e-7 relative,
+    tests/test_rollout_pregen.py) — far below the native-mode integrator
+    tolerance.  Only fixed-horizon engines can use this — auto-reset
+    re-keys the streams at data-dependent times.
+
+    Returns ``(cfg', params')`` with the exogenous modes set and the planes
+    attached.  Single-env semantics (vmap for a batch).
+    """
+    from simglucose_tpu.ops.noise import noise_pregenerate
+    from simglucose_tpu.scenario.meal import meals_pregenerate
+
+    if cfg.noise_mode != "native" or cfg.scenario_mode != "random":
+        raise ValueError(
+            "pregen requires noise_mode='native' and scenario_mode='random' "
+            f"(got {cfg.noise_mode!r}/{cfg.scenario_mode!r}) — other modes "
+            "already carry their streams as arrays"
+        )
+    dtype = params.patient.x0.dtype
+    # env_reset's split — the sensor/scenario subkeys must match exactly
+    _, k_sensor, k_scenario = jax.random.split(key, 3)
+    noise_seq = noise_pregenerate(
+        params.sensor, k_sensor, n_steps + 2, cfg.sample_time, dtype=dtype
+    )  # reset consumes samples 0-1 (env.py:126,142), steps 2..n_steps+1
+    meal_seq = meals_pregenerate(
+        k_scenario, start_min, n_steps * cfg.sample_time, dtype=dtype
+    )
+    cfg = dataclasses.replace(
+        cfg, noise_mode="exogenous", scenario_mode="exogenous"
+    )
+    return cfg, params._replace(noise_seq=noise_seq, meal_seq=meal_seq)
+
+
 def rollout(
     cfg: EnvConfig,
     params: EnvParams,
@@ -44,13 +101,23 @@ def rollout(
     start_min: jnp.ndarray = 0,
     init_state: Optional[jnp.ndarray] = None,
     reward_fun=risk_diff_reward,
+    pregen: bool = False,
 ) -> Tuple[EnvState, StepResult, StepResult]:
     """Closed-loop rollout of ``n_steps`` env steps for ONE env.
 
     Returns (final_env_state, reset_result, stacked_step_results); vmap over
     (params/key/start_min) for a batch.  The controller acts on the previous
     step's result, exactly like the reference loop (sim_engine.py:33-37).
+
+    ``pregen=True`` hoists the noise/meal streams out of the scan
+    (:func:`pregen_env`) — same trajectories to within compiler-rounding
+    ulps, substantially faster scan body; requires the native/random
+    modes.  The returned final EnvState's sensor-lattice/scenario
+    internals are frozen at their reset values (the exogenous planes
+    replace them).
     """
+    if pregen:
+        cfg, params = pregen_env(cfg, params, key, n_steps, start_min)
     state, reset_res = env_reset(
         cfg, params, key, start_min=start_min, init_state=init_state
     )
@@ -77,13 +144,14 @@ def rollout_batch(
     start_min: jnp.ndarray = 0,
     reward_fun=risk_diff_reward,
     ctrl_in_axes=None,
+    pregen: bool = False,
 ):
     """vmapped :func:`rollout` over a leading batch axis of params/keys.
 
     ``params`` leaves must carry the batch axis; ``start_min``/``ctrl_init``
     are broadcast if unbatched.  Pass ``ctrl_in_axes=0`` when the controller
     state is per-patient (e.g. batched BB therapy params).  Histories come
-    back as [B, T] arrays.
+    back as [B, T] arrays.  ``pregen`` — see :func:`rollout`.
     """
     batched = jax.vmap(
         lambda p, k, sm, ci: rollout(
@@ -95,6 +163,7 @@ def rollout_batch(
             n_steps,
             start_min=sm,
             reward_fun=reward_fun,
+            pregen=pregen,
         ),
         in_axes=(0, 0, 0, ctrl_in_axes),
     )

@@ -126,3 +126,62 @@ def noise_next(
 
     val = _catmull_rom(lattice, u)
     return val, (e, lattice, k, lattice_next)
+
+
+def noise_pregenerate(
+    params: SensorParams,
+    key: jax.Array,
+    n_samples: int,
+    sample_time: int,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """The first ``n_samples`` values of the streaming noise chain as one
+    vectorized [n_samples] array — BIT-IDENTICAL to ``n_samples`` successive
+    :func:`noise_next` calls from :func:`noise_lattice_init` with the same
+    ``key`` (pinned by tests/test_rollout_pregen.py).
+
+    This is the fixed-horizon fast path (envs/rollout.py ``rollout(pregen=
+    True)``): the noise stream is state-independent, so hoisting it out of
+    the env scan removes the per-step threefry ``fold_in`` + ``normal``
+    (erf_inv) from the hot loop; the env then runs in exogenous-noise mode
+    indexing this plane by ``sample_count``.
+
+    Everything is parallel except the AR(1) recurrence over lattice points
+    (noise_gen.py:85-88), kept as a ``lax.scan`` so the float op order — and
+    therefore every bit — matches the streaming path; the lattice is tiny
+    (one point per 15 simulated minutes, noise_gen.py:17).
+    """
+    # lattice points needed: sample n (n = 0..n_samples-1) reads window
+    # [k-1, k+2] at k = ((n+1)*sample_time) // 15 — same indexing as
+    # noise_next.
+    max_k = (n_samples * sample_time) // MDL_SAMPLE_TIME
+    n_lat = max_k + 3  # indices 0 .. max_k+2
+    # z_j = normal(fold_in(key, j)) — the streaming draw order: init uses
+    # counters 0..2 (noise_lattice_init), advancement uses counter ==
+    # lattice index (noise_next's fold_in(key, lattice_next)).
+    zs = jax.vmap(
+        lambda j: jax.random.normal(jax.random.fold_in(key, j), dtype=dtype)
+    )(jnp.arange(n_lat))
+
+    # e_0 = z_0; e_j = PACF * (e_{j-1} + z_j)  — sequential scan keeps the
+    # exact streaming float op order (an associative-scan form would round
+    # differently).
+    def ar_body(e, z):
+        e = params.PACF * (e + z)
+        return e, e
+
+    _, e_rest = jax.lax.scan(ar_body, zs[0], zs[1:])
+    e_all = jnp.concatenate([zs[:1], e_rest])
+    eps = johnson_transform_su(params, e_all)  # [n_lat]
+
+    n = jnp.arange(n_samples, dtype=jnp.int32)
+    tau = (n + 1) * sample_time
+    k = (tau // MDL_SAMPLE_TIME).astype(jnp.int32)
+    u = (tau - k * MDL_SAMPLE_TIME).astype(dtype) / MDL_SAMPLE_TIME
+    # window [k-1, k, k+1, k+2]; the phantom index -1 clamps to 0, exactly
+    # like noise_lattice_init's first window.
+    lattice = jnp.stack(
+        [eps[jnp.maximum(k - 1, 0)], eps[k], eps[k + 1], eps[k + 2]],
+        axis=-1,
+    )
+    return _catmull_rom(lattice, u)

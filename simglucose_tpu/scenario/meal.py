@@ -145,6 +145,63 @@ def scenario_meals_for_step(
     return new_state, meals
 
 
+def meals_pregenerate(
+    key: jax.Array,
+    start_min: jnp.ndarray,
+    n_minutes: int,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """The meal stream of the first ``n_minutes`` episode minutes as one
+    vectorized [n_minutes] g-per-minute array — BIT-IDENTICAL to the
+    streaming :func:`scenario_init` + :func:`scenario_meals_for_step` chain
+    with the same ``key``/``start_min`` (pinned by
+    tests/test_rollout_pregen.py).
+
+    This is the fixed-horizon fast path (envs/rollout.py ``rollout(pregen=
+    True)``): the meal stream is state-independent, so hoisting it out of
+    the env scan removes the per-step candidate-plan draw (18 threefry
+    variates + 12 ndtri/ndtr evaluations for a regeneration that actually
+    fires once per simulated day, scenario_gen.py:20-22) from the hot loop;
+    the env then runs in exogenous-scenario mode slicing this plane by the
+    patient clock.
+
+    Plan keying reproduces the streaming day chain exactly:
+
+      * ``start_min > 0``: day 0 uses the reset-time plan
+        (``fold_in(key, 0)``, scenario_init);
+      * ``start_min == 0``: the reset-time plan is tagged day -1 and the
+        first step regenerates (scenario_init's midnight rule), so day 0
+        uses ``fold_in(key, 1)``;
+      * day d >= 1 regenerates when the step's last minute first enters day
+        d, with ``fold_in(key, d + 1)`` (scenario_meals_for_step) — and
+        per-minute plan selection is by each minute's own day, so a step
+        straddling midnight reads the old plan for its pre-midnight minutes.
+    """
+    start_min = jnp.asarray(start_min, jnp.int32)
+    # start_min is a minute-of-day (< 1440), so n_minutes of episode span at
+    # most this many distinct days (static shape under traced start_min):
+    n_days = (MINUTES_PER_DAY - 1 + n_minutes - 1) // MINUTES_PER_DAY + 1
+
+    def plan_for_day(d):
+        ctr = jnp.where(
+            d == 0, jnp.where(start_min == 0, 1, 0), d + 1
+        ).astype(jnp.uint32)
+        return create_daily_plan(jax.random.fold_in(key, ctr), dtype=dtype)
+
+    times, amounts = jax.vmap(plan_for_day)(jnp.arange(n_days))  # [D, 6]
+
+    mins = start_min + jnp.arange(n_minutes, dtype=jnp.int32)
+    days = mins // MINUTES_PER_DAY
+    mods = (mins % MINUTES_PER_DAY).astype(times.dtype)
+    t_rows = times[days]  # [n_minutes, 6]
+    a_rows = amounts[days]
+    match = t_rows == mods[:, None]
+    first = jnp.argmax(match, axis=1)
+    return jnp.where(
+        match.any(axis=1), jnp.take_along_axis(a_rows, first[:, None], 1)[:, 0], 0.0
+    )
+
+
 def custom_meals_for_step(
     times_min: jnp.ndarray,
     amounts: jnp.ndarray,

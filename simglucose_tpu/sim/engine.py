@@ -476,6 +476,12 @@ def simulate(
             start_min, reward_fun, patient_names, start_time,
         )
     else:
+        # fixed-horizon + native modes -> hoist the noise/meal streams out
+        # of the scan (envs/rollout.py pregen_env): bit-identical
+        # trajectories, much cheaper scan body
+        pregen = (
+            cfg.noise_mode == "native" and cfg.scenario_mode == "random"
+        )
         run = jax.jit(
             lambda p, k, ci: rollout_batch(
                 cfg,
@@ -487,6 +493,7 @@ def simulate(
                 start_min=start_min,
                 reward_fun=reward_fun,
                 ctrl_in_axes=ctrl_axes,
+                pregen=pregen,
             )
         )
         state, reset_res, traj = run(env_params, keys, ctrl_init)
