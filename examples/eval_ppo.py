@@ -50,9 +50,7 @@ from simglucose_tpu.models.uva_padova import basal_rate  # noqa: E402
 
 basal = basal_rate(tables.load_patient_params(names, dtype=np.float32))
 controllers = {
-    "PPO (deterministic)": policy_controller(
-        policy, action_scale=10.0, basal=basal
-    ),
+    "PPO (deterministic)": policy_controller(policy, basal),
     "BB therapy": "BB",
     "PID": "PID",
 }

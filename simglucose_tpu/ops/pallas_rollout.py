@@ -214,15 +214,23 @@ def pack_params(
     return flat.reshape(NP_PLANES, B // LANES, LANES)
 
 
+def packed_basal(packed: jnp.ndarray) -> jnp.ndarray:
+    """The per-patient basal plane of :func:`pack_params`, flattened back to
+    [B] — the fused learner's featurize input (rl/policy.py
+    featurize_parts needs the patient basal; the kernel reads the same
+    plane in-kernel)."""
+    return packed[len(_PARAM_FIELDS) + 13].reshape(-1)
+
+
 def pack_policy_weights(params) -> jnp.ndarray:
     """PolicyParams (rl/policy.py) -> one [H, H+16] f32 buffer for the
     kernel's 'nn' controller.
 
-    Column layout (H = hidden width): [0:4] w1^T | [4] b1 | [5] w_mu |
-    [6] rows 0/1 = (b_mu, log_std) | [8:8+H] w2^T | [8+H] b2.  The value
-    head (w_v/b_v) is NOT shipped: the kernel only needs the policy mean —
-    values and log-probs are recomputed by the learner in one batched XLA
-    forward pass over the rollout's observation outputs.
+    Column layout (H = hidden width, OBS_DIM = 7): [0:7] w1^T | [7] b1 |
+    [8] w_mu | [9] rows 0/1 = (b_mu, log_std) | [12:12+H] w2^T | [12+H] b2.
+    The value head (w_v/b_v) is NOT shipped: the kernel only needs the
+    policy mean — values and log-probs are recomputed by the learner in one
+    batched XLA forward pass over the rollout's observation outputs.
 
     The kernel's trunk is hardwired relu; params carrying any other static
     ``act`` metadata (rl/policy.py PolicyParams) are rejected so a
@@ -235,14 +243,20 @@ def pack_policy_weights(params) -> jnp.ndarray:
             f"act='relu' to use the fused actor)"
         )
     H = params.b1.shape[0]
+    if params.w1.shape[0] != 7:
+        raise ValueError(
+            f"the pallas 'nn' controller implements the OBS_DIM=7 featurizer "
+            f"(rl/policy.py featurize_parts); got w1 with obs dim "
+            f"{params.w1.shape[0]}"
+        )
     buf = jnp.zeros((H, H + 16), jnp.float32)
-    buf = buf.at[:, 0:4].set(params.w1.T.astype(jnp.float32))
-    buf = buf.at[:, 4].set(params.b1.astype(jnp.float32))
-    buf = buf.at[:, 5].set(params.w_mu[:, 0].astype(jnp.float32))
-    buf = buf.at[0, 6].set(params.b_mu[0].astype(jnp.float32))
-    buf = buf.at[1, 6].set(params.log_std[0].astype(jnp.float32))
-    buf = buf.at[:, 8:8 + H].set(params.w2.T.astype(jnp.float32))
-    buf = buf.at[:, 8 + H].set(params.b2.astype(jnp.float32))
+    buf = buf.at[:, 0:7].set(params.w1.T.astype(jnp.float32))
+    buf = buf.at[:, 7].set(params.b1.astype(jnp.float32))
+    buf = buf.at[:, 8].set(params.w_mu[:, 0].astype(jnp.float32))
+    buf = buf.at[0, 9].set(params.b_mu[0].astype(jnp.float32))
+    buf = buf.at[1, 9].set(params.log_std[0].astype(jnp.float32))
+    buf = buf.at[:, 12:12 + H].set(params.w2.T.astype(jnp.float32))
+    buf = buf.at[:, 12 + H].set(params.b2.astype(jnp.float32))
     return buf
 
 
@@ -479,11 +493,16 @@ def _risk_of(bg):
 #   59 cached reset CGM0  60 cached reset risk0 (derived from the cache —
 #      avoids a clip+log+pow in every step's reset merge)
 #   61 ins_prev — the previous step's delivered insulin (the 'nn'
-#      controller's tanh(insulin) observation feature, rl/policy.py
+#      controller's insulin observation feature, rl/policy.py
 #      featurize; zeroed on reset like the autoreset carry's StepResult)
+#   62 ctrl_pprev — the controller observation BEFORE ctrl_prev (the 'nn'
+#      trend feature: tanh((ctrl_prev - ctrl_pprev)/10), rl/policy.py
+#      featurize_parts; equals ctrl_prev at episode start -> zero trend)
+#   63 iob — insulin-on-board, the exp(-dt/100min)-decayed sum of delivered
+#      insulin (rl/policy.py iob_step); zeroed on reset
 #   NOTE plane 38 carries risk(prev CGM), not the CGM itself: risk_diff
 #   reuses the risk already computed when that CGM was produced.
-NS_F = 62
+NS_F = 64
 #   int planes: 0 t_min (episode minutes)  1 start_min  2 day  3 seg
 #   4 lattice_next  5 sample_count  6 cached reset start_min
 NS_I = 7
@@ -595,9 +614,11 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
         cgm_out, bg_out, rew_out, done_out, cho_out, ins_out = refs[k:k + 6]
         k += 6
         raw_out = octrl_out = oins_out = ocho_out = None
+        oprev_out = oiob_out = None
         if nn:
-            raw_out, octrl_out, oins_out, ocho_out = refs[k:k + 4]
-            k += 4
+            (raw_out, octrl_out, oins_out, ocho_out, oprev_out,
+             oiob_out) = refs[k:k + 6]
+            k += 6
         rst_out = refs[k]
         # persistent: the state OUTPUT refs are the working state; scratch
         # otherwise — either way the tail two refs
@@ -680,6 +701,8 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
             fs[39] = jnp.zeros(shape, jnp.float32)  # prev_CHO
             fs[40] = cgm_obs0  # the first controller observation
             fs[61] = jnp.zeros(shape, jnp.float32)  # ins_prev
+            fs[62] = cgm_obs0  # ctrl_pprev == ctrl_prev -> zero trend
+            fs[63] = jnp.zeros(shape, jnp.float32)  # iob
             is_[0] = jnp.zeros(shape, jnp.int32)  # t_min
             is_[1] = fvals["start_min"]
             is_[2] = jnp.zeros(shape, jnp.int32)  # day
@@ -714,6 +737,16 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
         prev_cho = fs[39]
         ctrl_prev = fs[40]
         ins_prev = fs[61]
+        ctrl_pprev = fs[62]
+        iob = fs[63]
+        if nn:
+            # per-lane featurization constants (rl/policy.py
+            # featurize_parts): basal is static per patient, so the
+            # divisions hoist out of the step loop
+            inv3b = 1.0 / (3.0 * (basal_rate_u + 1e-8))
+            inv120b = 1.0 / (120.0 * (basal_rate_u + 1e-8))
+            f7 = jnp.tanh(20.0 * basal_rate_u)
+            iob_decay = math.exp(-st / 100.0)  # iob_step, tau=100 min
         cache_xs = tuple(fs[41 + i] for i in range(13))
         cache_e = fs[54]
         cache_lat = [fs[55 + i] for i in range(4)]
@@ -737,31 +770,37 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
                 octrl_out[i_step] = ctrl_prev
                 oins_out[i_step] = ins_prev
                 ocho_out[i_step] = prev_cho
+                oprev_out[i_step] = ctrl_pprev
+                oiob_out[i_step] = iob
                 H = cfg.nn_hidden
-                w1t = wnn_ref[:, 0:4]  # [H, 4]
-                b1 = wnn_ref[:, 4:5]  # [H, 1]
-                wmu = wnn_ref[:, 5:6]  # [H, 1]
+                w1t = wnn_ref[:, 0:7]  # [H, 7]
+                b1 = wnn_ref[:, 7:8]  # [H, 1]
+                wmu = wnn_ref[:, 8:9]  # [H, 1]
                 # b_mu / log_std come through SMEM: scalar->vector broadcast
                 # is native there, while a [1,1] VMEM slice broadcast to
                 # [R,128] is "broadcast in both sublanes and lanes"
                 # (unimplemented in Mosaic)
                 bmu_s = nns_ref[0]
                 sigma_s = jnp.exp(nns_ref[1])
-                w2t = wnn_ref[:, 8:8 + H]  # [H, H]
-                b2 = wnn_ref[:, 8 + H:9 + H]  # [H, 1]
-                # featurize (rl/policy.py): [cgm/400, (cgm-140)/100,
-                # tanh(ins), tanh(cho/10)]
+                w2t = wnn_ref[:, 12:12 + H]  # [H, H]
+                b2 = wnn_ref[:, 12 + H:13 + H]  # [H, 1]
+                # featurize (rl/policy.py featurize_parts): [cgm/400,
+                # (cgm-140)/100, tanh(ins/(3b)), tanh(cho/10),
+                # tanh(trend/10), tanh(iob/(120b)), tanh(20b)]
                 f1 = ctrl_prev * (1.0 / 400.0)
                 f2 = (ctrl_prev - 140.0) * 0.01
-                f3 = jnp.tanh(ins_prev)
+                f3 = jnp.tanh(ins_prev * inv3b)
                 f4 = jnp.tanh(prev_cho * 0.1)
-                # relu MLP, one [H,4]@[4,128] + [H,H]@[H,128] MXU pair per
+                f5 = jnp.tanh((ctrl_prev - ctrl_pprev) * 0.1)
+                f6 = jnp.tanh(iob * inv120b)
+                # relu MLP, one [H,7]@[7,128] + [H,H]@[H,128] MXU pair per
                 # sublane row (lanes = patients, sublanes = hidden units)
                 mu_rows = []
                 for r in range(R):
                     obs_r = jnp.stack(
-                        [f1[r], f2[r], f3[r], f4[r]], axis=0
-                    )  # [4, 128]
+                        [f1[r], f2[r], f3[r], f4[r], f5[r], f6[r], f7[r]],
+                        axis=0,
+                    )  # [7, 128]
                     h = jnp.maximum(
                         jnp.dot(
                             w1t, obs_r, preferred_element_type=jnp.float32
@@ -791,6 +830,9 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
                 insulin = _quantize(
                     basal_cmd, cfg.inc_basal, cfg.min_basal, cfg.max_basal
                 )
+                # insulin-on-board update (rl/policy.py iob_step): decay,
+                # then add this step's dose
+                iob = iob * iob_decay + insulin * float(st)
             elif cfg.controller == "pid":
                 obs = ctrl_prev
                 control = (
@@ -990,6 +1032,7 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
 
             prev_risk = risk_now
             prev_cho = CHO_acc
+            ctrl_pprev = ctrl_prev  # trend baseline: the obs just acted on
             ctrl_prev = CGM_acc
             ins_prev = insulin
 
@@ -1021,6 +1064,8 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
                 ctrl_prev = mix(ctrl_prev, cgm0)
                 prev_cho = keep * prev_cho  # fresh episode: no announced meal
                 ins_prev = keep * ins_prev  # reset carry has insulin = 0
+                ctrl_pprev = mix(ctrl_pprev, cgm0)  # zero trend at reset
+                iob = keep * iob  # fresh episode: no insulin on board
                 keep_i = (1 - done).astype(jnp.int32)
                 done_i = done.astype(jnp.int32)
                 t_min = keep_i * t_min  # reset episode clock to 0
@@ -1038,6 +1083,8 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
                 rst_out[2] = ctrl_prev
                 rst_out[3] = ins_prev
                 rst_out[4] = prev_cho
+                rst_out[5] = ctrl_pprev
+                rst_out[6] = iob
 
         # ---- store state back ----
         for i in range(13):
@@ -1062,6 +1109,8 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
         fs[59] = cache_cgm0
         fs[60] = cache_risk0
         fs[61] = ins_prev
+        fs[62] = ctrl_pprev
+        fs[63] = iob
         is_[0], is_[1], is_[2] = t_min, start_min, day
         is_[3], is_[4], is_[5] = seg, lat_next, n_samp
         is_[6] = cache_start
@@ -1127,7 +1176,7 @@ def make_pallas_rollout(cfg: PallasRolloutConfig, batch: int, interpret: bool = 
     TC = cfg.t_chunk
 
     nn = cfg.controller == "nn"
-    n_rst = 5 if nn else 2
+    n_rst = 7 if nn else 2
     out_field = jax.ShapeDtypeStruct((cfg.n_steps, rows, LANES), jnp.float32)
     traj_spec = pl.BlockSpec(
         (TC, R, LANES), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM
@@ -1175,7 +1224,7 @@ def make_pallas_rollout(cfg: PallasRolloutConfig, batch: int, interpret: bool = 
     if cfg.persistent_state:
         in_specs += [state_f_spec, state_i_spec]
 
-    n_traj = 10 if nn else 6
+    n_traj = 12 if nn else 6
     out_shape = [out_field] * n_traj + [rst_field]
     out_specs = [traj_spec] * n_traj + [rst_spec]
     scratch = []
@@ -1226,7 +1275,7 @@ def make_pallas_rollout(cfg: PallasRolloutConfig, batch: int, interpret: bool = 
                                  "(pack_policy_weights)")
             w = jnp.asarray(weights, jnp.float32)
             args.append(w)
-            args.append(w[0:2, 6])  # (b_mu, log_std) -> SMEM scalars
+            args.append(w[0:2, 9])  # (b_mu, log_std) -> SMEM scalars
         if cfg.exogenous_noise:
             if reset_noise is None or step_noise is None:
                 raise ValueError(
@@ -1261,7 +1310,9 @@ def make_pallas_rollout(cfg: PallasRolloutConfig, batch: int, interpret: bool = 
             res["octrl"] = unb(outs[k + 1])
             res["oins"] = unb(outs[k + 2])
             res["ocho"] = unb(outs[k + 3])
-            k += 4
+            res["oprev"] = unb(outs[k + 4])
+            res["oiob"] = unb(outs[k + 5])
+            k += 6
         rst = outs[k]
         k += 1
         res["BG0"] = rst[0].reshape(batch)
@@ -1271,6 +1322,8 @@ def make_pallas_rollout(cfg: PallasRolloutConfig, batch: int, interpret: bool = 
             res["tail_octrl"] = rst[2].reshape(batch)
             res["tail_oins"] = rst[3].reshape(batch)
             res["tail_ocho"] = rst[4].reshape(batch)
+            res["tail_oprev"] = rst[5].reshape(batch)
+            res["tail_oiob"] = rst[6].reshape(batch)
         if cfg.persistent_state:
             res["state_f"], res["state_i"] = outs[k], outs[k + 1]
         return res
@@ -1357,9 +1410,10 @@ def make_sharded_pallas_rollout(
     out_specs["BG0"] = P(axis)
     out_specs["CGM0"] = P(axis)
     if nn:
-        for k in ("raw", "octrl", "oins", "ocho"):
+        for k in ("raw", "octrl", "oins", "ocho", "oprev", "oiob"):
             out_specs[k] = P(None, axis)
-        for k in ("tail_octrl", "tail_oins", "tail_ocho"):
+        for k in ("tail_octrl", "tail_oins", "tail_ocho", "tail_oprev",
+                  "tail_oiob"):
             out_specs[k] = P(axis)
     if cfg.persistent_state:
         out_specs["state_f"] = shard3

@@ -14,55 +14,71 @@ PID baseline (tests/test_ppo_eval.py).
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from simglucose_tpu.analysis.risk import risk_index
 from simglucose_tpu.core.types import CtrlAction
-from simglucose_tpu.rl.policy import PolicyParams, featurize, policy_apply
+from simglucose_tpu.rl.policy import PolicyParams, policy_apply
 
 
 def policy_controller(
     params: PolicyParams,
-    action_scale: float = 0.2,
-    basal: Optional[jnp.ndarray] = None,
+    basal: jnp.ndarray,
+    action_scale: float = 10.0,
+    scale_by_basal: bool = True,
+    sample_time: int = 3,
 ):
     """Adapt a trained Gaussian-MLP policy into a functional controller
-    (the deterministic/eval form: basal = sigmoid(mu) * scale, no sampling —
+    (the deterministic/eval form: rate = sigmoid(mu) * scale, no sampling —
     how a trained policy would actually be deployed).
 
-    Returns the ``(ctrl_init, ctrl_fn)`` pair every rollout engine accepts
-    (controllers/functional.py), so RL policies drop into ``simulate()``,
+    Returns the ``(ctrl_init, ctrl_fn, in_axes)`` triple every rollout
+    engine accepts (controllers/functional.py, sim/engine.py
+    ``_resolve_controller``), so RL policies drop into ``simulate()``,
     ``rollout_batch``, and the gym wrappers exactly like BB/PID — the
     reference's custom-controller extension point
-    (reference: controller/base.py:6-34, examples/apply_customized_controller.py).
+    (reference: controller/base.py:6-34,
+    examples/apply_customized_controller.py).
 
     ``basal`` (per-patient U/min, ``u2ss*BW/6000`` — the BB therapy basal,
-    reference basal_bolus_ctrller.py:64): when given, the emitted rate is
-    ``sigmoid(mu) * action_scale * basal`` — the deploy-side analog of the
-    kernel's ``nn_scale_by_basal`` training config, where one policy output
-    means the same therapy intensity across the ~6x basal span of the
-    cohort.  Returns an ``(init, fn, in_axes)`` triple (the basal array is
-    per-patient controller state)."""
+    reference basal_bolus_ctrller.py:64) feeds the featurizer's
+    patient-identity / insulin-normalization inputs, and — with
+    ``scale_by_basal`` (the deploy analog of training with
+    ``PPOConfig.scale_by_basal``) — scales the emitted rate to
+    ``sigmoid(mu) * action_scale * basal``, so one policy output means the
+    same therapy intensity across the ~6x basal span of the cohort.
 
-    if basal is None:
+    The controller state carries the observation memory behind the trend
+    and insulin-on-board features (rl/policy.py featurize_parts): the
+    previous CGM sample (sentinel -1 before the first call -> zero trend)
+    and the IOB accumulator, updated each call from ``result.insulin`` —
+    the pump-quantized dose the env actually DELIVERED for the previous
+    command, the same recurrence the pallas 'nn' kernel runs in-kernel.
+    ``sample_time`` must match the env's (Dexcom default 3 min)."""
+    from simglucose_tpu.rl.policy import featurize_parts, iob_step
 
-        def policy(state, result):
-            mu, _, _ = policy_apply(params, featurize(result))
-            b = jax.nn.sigmoid(mu) * action_scale
-            return state, CtrlAction(basal=b, bolus=jnp.zeros_like(b))
+    b_arr = jnp.asarray(basal)
 
-        return (), policy
+    def policy(state, result):
+        b_u, cgm_prev, iob = state
+        cgm = result.observation.CGM
+        prev = jnp.where(cgm_prev < 0, cgm, cgm_prev)
+        iob = iob_step(iob, result.insulin, sample_time)
+        obs = featurize_parts(
+            cgm, result.insulin, result.CHO, prev, iob, b_u
+        )
+        mu, _, _ = policy_apply(params, obs)
+        rate = jax.nn.sigmoid(mu) * action_scale
+        if scale_by_basal:
+            rate = rate * b_u
+        return (b_u, cgm, iob), CtrlAction(
+            basal=rate, bolus=jnp.zeros_like(rate)
+        )
 
-    def policy_scaled(b_u, result):
-        mu, _, _ = policy_apply(params, featurize(result))
-        b = jax.nn.sigmoid(mu) * action_scale * b_u
-        return b_u, CtrlAction(basal=b, bolus=jnp.zeros_like(b))
-
-    return jnp.asarray(basal), policy_scaled, 0
+    init = (b_arr, -jnp.ones_like(b_arr), jnp.zeros_like(b_arr))
+    return init, policy, 0
 
 
 def cohort_stats(bg: np.ndarray) -> dict:
@@ -141,6 +157,9 @@ def evaluate_controller(
         lambda p, k, ci: rollout_batch(
             cfg, p, k, ci, ctrl_fn, n_steps,
             start_min=start_min, ctrl_in_axes=ctrl_axes,
+            # fixed-horizon + native modes: hoist the noise/meal streams
+            # out of the scan (envs/rollout.py pregen_env)
+            pregen=True,
         )
     )
     _, reset_res, traj = run(env_params, keys, ctrl_init)

@@ -38,6 +38,7 @@ from simglucose_tpu.ops.pallas_rollout import (
     make_pallas_rollout,
     make_sharded_pallas_rollout,
     pack_policy_weights,
+    packed_basal,
 )
 from simglucose_tpu.rl.policy import (
     PolicyParams,
@@ -88,9 +89,10 @@ def init_fused_state(
     )
 
 
-def _features(octrl, oins, ocho):
-    """featurize() from the kernel's observation planes."""
-    return featurize_parts(octrl, oins, ocho)
+def _features(octrl, oins, ocho, oprev, oiob, basal):
+    """featurize() from the kernel's observation planes (``basal`` [B] is
+    static per patient and broadcasts over the time axis)."""
+    return featurize_parts(octrl, oins, ocho, oprev, oiob, basal)
 
 
 def make_fused_train_step(
@@ -146,6 +148,7 @@ def make_fused_train_step(
         controller="nn",
         nn_hidden=hidden,
         nn_action_scale=cfg.action_scale,
+        nn_scale_by_basal=cfg.scale_by_basal,
         n_steps=cfg.rollout_steps,
         persistent_state=True,
         prng="hw" if not interpret else "sw",
@@ -180,11 +183,16 @@ def make_fused_train_step(
             init=ts.init,
         )
         # recompute logp/value at the rollout params in one batched forward
-        obs = _features(traj["octrl"], traj["oins"], traj["ocho"])  # [T,B,4]
+        basal = packed_basal(packed_params)  # [B], static per patient
+        obs = _features(
+            traj["octrl"], traj["oins"], traj["ocho"], traj["oprev"],
+            traj["oiob"], basal,
+        )  # [T, B, OBS_DIM]
         mu, log_std, value = policy_apply(ts.params, obs)
         logp = gaussian_logprob(mu, log_std, traj["raw"])
         tail_obs = _features(
-            traj["tail_octrl"], traj["tail_oins"], traj["tail_ocho"]
+            traj["tail_octrl"], traj["tail_oins"], traj["tail_ocho"],
+            traj["tail_oprev"], traj["tail_oiob"], basal,
         )
         _, _, last_value = policy_apply(ts.params, tail_obs)
 

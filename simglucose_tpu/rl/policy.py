@@ -12,15 +12,36 @@ constraints when a mesh is supplied.  XLA inserts the tp all-reduces.
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-OBS_DIM = 4
+OBS_DIM = 7
 
 ACTIVATIONS = ("tanh", "relu")
+
+# Insulin-on-board decay time constant (minutes).  IOB is the
+# exponentially-decayed sum of delivered insulin — the standard artificial-
+# pancreas controller input that prevents insulin stacking (dosing again
+# while the previous dose is still acting through the 30-60 min absorption
+# lag).  The reference's RL env exposes CGM only
+# (envs/simglucose_gym_env.py:78-85); IOB is derived purely from the
+# policy's OWN past actions, so it adds no privileged information.
+IOB_TAU_MIN = 100.0
+
+
+def iob_step(iob, insulin, sample_time):
+    """One control-step IOB update: decay by exp(-dt/tau), add the dose
+    delivered this step (``insulin`` U/min x ``sample_time`` min = U).
+    The ONE definition — the pallas kernel mirrors it with the identical
+    static decay constant (a host-side ``math.exp``, so both paths multiply
+    by the same f32-rounded scalar), pinned by the kernel-vs-env parity
+    test."""
+    decay = math.exp(-float(sample_time) / IOB_TAU_MIN)
+    return iob * decay + insulin * float(sample_time)
 
 
 @jax.tree_util.register_dataclass
@@ -102,32 +123,69 @@ def init_policy(
     )
 
 
-def featurize_parts(cgm, insulin, cho) -> jnp.ndarray:
-    """(CGM, insulin, CHO) -> [..., OBS_DIM] normalized features — the ONE
-    definition of the observation normalization (the pallas 'nn' kernel
-    mirrors these constants in-kernel, ops/pallas_rollout.py, and its
-    parity test pins them against this function).
+def featurize_parts(cgm, insulin, cho, cgm_prev, iob, basal) -> jnp.ndarray:
+    """(CGM, insulin, CHO, previous-sample CGM, insulin-on-board, patient
+    basal) -> [..., OBS_DIM] normalized features — the ONE definition of the
+    observation normalization (the pallas 'nn' kernel mirrors these
+    constants in-kernel, ops/pallas_rollout.py, and its parity test pins
+    them against this function).
 
-    All features are bounded: insulin can reach the pump's 30 U/min ceiling
-    while exploring, and an unbounded ``insulin*10`` feature saturates the
-    tanh trunk (72% of units at |h|>0.99 in round-1 diagnostics), killing
-    the policy gradient.  tanh-squashing keeps resolution in the
-    therapeutic range (~0.01-0.1 U/min) and bounds the tail."""
+    The seven features and why:
+
+    * ``cgm/400`` and ``(cgm-140)/100`` — absolute level, two resolutions.
+    * ``tanh(insulin/(3*basal))`` — last delivered rate in units of the
+      patient's own basal (absolute U/min means 6x different therapy
+      intensity across the cohort).  All features are bounded: insulin can
+      reach the pump's 30 U/min ceiling while exploring, and an unbounded
+      feature saturates the trunk (72% of units at |h|>0.99 in round-1
+      diagnostics), killing the policy gradient.
+    * ``tanh(cho/10)`` — the announced meal (g/min averaged over the step),
+      the same signal the BB controller doses on
+      (reference: basal_bolus_ctrller.py:42-56).
+    * ``tanh((cgm - cgm_prev)/10)`` — CGM trend per sample interval: rising
+      glucose is the early-meal signal a memoryless level-only policy
+      cannot see until it is late.
+    * ``tanh(iob/(120*basal))`` — insulin-on-board in units of ~2 h of the
+      patient's basal (see :func:`iob_step`): dosing without IOB stacks
+      boluses through the 30-60 min absorption lag straight into
+      hypoglycemia.
+    * ``tanh(20*basal)`` — patient identity (therapy intensity): cohort
+      basals span 0.01-0.06 U/min, so one universal policy can personalize
+      its strategy by size/sensitivity.
+    """
+    # basal is static per patient ([B] against [T, B] trajectory planes)
+    cgm, insulin, cho, cgm_prev, iob, basal = jnp.broadcast_arrays(
+        cgm, insulin, cho, cgm_prev, iob, basal
+    )
+    b = basal + 1e-8
     return jnp.stack(
         [
             cgm / 400.0,
             (cgm - 140.0) / 100.0,
-            jnp.tanh(insulin),
+            jnp.tanh(insulin / (3.0 * b)),
             jnp.tanh(cho / 10.0),
+            jnp.tanh((cgm - cgm_prev) / 10.0),
+            jnp.tanh(iob / (120.0 * b)),
+            jnp.tanh(20.0 * basal),
         ],
         axis=-1,
     )
 
 
-def featurize(result) -> jnp.ndarray:
-    """StepResult -> [..., OBS_DIM] features (see :func:`featurize_parts`)."""
+def featurize(result, basal, cgm_prev=None, iob=None) -> jnp.ndarray:
+    """StepResult -> [..., OBS_DIM] features (see :func:`featurize_parts`).
+
+    ``cgm_prev``/``iob`` default to the cold-start values (zero trend, zero
+    insulin-on-board — exactly the episode-reset observation); stateful
+    callers (the PPO rollouts, ``policy_controller``) thread the real
+    values."""
+    cgm = result.observation.CGM
+    if cgm_prev is None:
+        cgm_prev = cgm
+    if iob is None:
+        iob = jnp.zeros_like(cgm)
     return featurize_parts(
-        result.observation.CGM, result.insulin, result.CHO
+        cgm, result.insulin, result.CHO, cgm_prev, iob, basal
     )
 
 

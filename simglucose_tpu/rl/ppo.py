@@ -26,6 +26,7 @@ from simglucose_tpu.rl.policy import (
     PolicyParams,
     featurize,
     gaussian_logprob,
+    iob_step,
     policy_apply,
     sample_action,
 )
@@ -60,6 +61,14 @@ class PPOConfig:
     # and no gradient; 0.2 covers ~4x the strongest cohort basal while
     # keeping the explored band informative.
     action_scale: float = 0.2
+    # scale the emitted basal by each patient's own therapy basal
+    # (u2ss*BW/6000): action = sigmoid(raw) * action_scale * patient_basal,
+    # so one policy output means the same therapy INTENSITY for a 25 kg
+    # child and a 110 kg adult (cohort basals span ~6x).  The pallas-fused
+    # trainer's analog is the kernel's nn_scale_by_basal config
+    # (rl/fused.py wires this flag through); the deploy-side analog is
+    # policy_controller(..., basal=...).
+    scale_by_basal: bool = False
     init_log_std: float = -0.5
     # subtracted from the step reward when the episode terminates (BG<70 or
     # BG>350).  With auto-reset, termination respawns the patient at a
@@ -75,6 +84,14 @@ class TrainState(NamedTuple):
     env_state: EnvState
     prev_res: StepResult
     key: jax.Array
+    # observation-memory carries for the trend / insulin-on-board features
+    # (rl/policy.py featurize_parts): the CGM sample before prev_res's and
+    # the decayed delivered-insulin sum.  None (the default) means the
+    # cold-start values — zero trend, zero IOB, exactly the episode-reset
+    # observation — so construction from a fresh batch_reset stays a
+    # 5-field call.
+    cgm_prev: Optional[jnp.ndarray] = None
+    iob: Optional[jnp.ndarray] = None
 
 
 class Transition(NamedTuple):
@@ -99,20 +116,31 @@ def _rollout(
     params: PolicyParams,
     env_state: EnvState,
     prev_res: StepResult,
+    cgm_prev: jnp.ndarray,
+    iob: jnp.ndarray,
+    patient_basal: jnp.ndarray,
     key: jax.Array,
     mesh: Optional[Mesh],
     reward_fun=None,
 ):
-    """Collect rollout_steps transitions from the batched auto-reset env."""
+    """Collect rollout_steps transitions from the batched auto-reset env.
+
+    ``cgm_prev``/``iob`` are the observation-memory carries behind the
+    trend and insulin-on-board features (rl/policy.py featurize_parts);
+    both follow the auto-reset semantics the pallas 'nn' kernel implements
+    (zero trend and zero IOB on the post-reset observation)."""
     step_kwargs = {} if reward_fun is None else {"reward_fun": reward_fun}
+    st = env_cfg.sample_time
 
     def body(carry, _):
-        env_state, prev, key = carry
+        env_state, prev, cgm_prev, iob, key = carry
         key, k_act = jax.random.split(key)
-        obs = featurize(prev)
+        obs = featurize(prev, patient_basal, cgm_prev=cgm_prev, iob=iob)
         basal, raw, logp, value = sample_action(
             params, obs, k_act, scale=cfg.action_scale, mesh=mesh
         )
+        if cfg.scale_by_basal:
+            basal = basal * patient_basal
         action = CtrlAction(basal=basal, bolus=jnp.zeros_like(basal))
         env_state, res, carry_res = jax.vmap(
             partial(autoreset_step, env_cfg, **step_kwargs)
@@ -126,15 +154,28 @@ def _rollout(
             reward=reward,
             done=res.done,
         )
+        # next obs memory: trend baseline is the CGM just acted on; IOB
+        # decays and adds the DELIVERED (post-pump-quantization) dose.  A
+        # reset zeroes both (the new episode's obs has no history).
+        done = res.done
+        next_cgm_prev = jnp.where(
+            done, carry_res.observation.CGM, prev.observation.CGM
+        )
+        next_iob = jnp.where(
+            done, jnp.zeros_like(iob), iob_step(iob, res.insulin, st)
+        )
         # carry the post-reset observation forward: the first action of each
         # new episode is computed from the new episode's CGM (reference
         # semantics, simglucose_gym_env.py:48-51)
-        return (env_state, carry_res, key), tr
+        return (env_state, carry_res, next_cgm_prev, next_iob, key), tr
 
-    (env_state, last_res, key), traj = jax.lax.scan(
-        body, (env_state, prev_res, key), None, length=cfg.rollout_steps
+    (env_state, last_res, cgm_prev, iob, key), traj = jax.lax.scan(
+        body,
+        (env_state, prev_res, cgm_prev, iob, key),
+        None,
+        length=cfg.rollout_steps,
     )
-    return env_state, last_res, key, traj
+    return env_state, last_res, cgm_prev, iob, key, traj
 
 
 def _gae(cfg: PPOConfig, traj: Transition, last_value: jnp.ndarray):
@@ -282,12 +323,23 @@ def make_train_step(
     opt = make_optimizer(cfg)
 
     def train_step(env_params: EnvParams, ts: TrainState):
-        env_state, last_res, key, traj = _rollout(
+        from simglucose_tpu.models.uva_padova import basal_rate
+
+        patient_basal = basal_rate(env_params.patient)
+        cgm0 = ts.prev_res.observation.CGM
+        # None carries = the cold start (zero trend, zero IOB — exactly the
+        # episode-reset observation, see TrainState)
+        cgm_prev = cgm0 if ts.cgm_prev is None else ts.cgm_prev
+        iob = jnp.zeros_like(cgm0) if ts.iob is None else ts.iob
+        env_state, last_res, cgm_prev, iob, key, traj = _rollout(
             cfg, env_cfg, env_params, ts.params, ts.env_state, ts.prev_res,
-            ts.key, mesh, reward_fun=reward_fun,
+            cgm_prev, iob, patient_basal, ts.key, mesh,
+            reward_fun=reward_fun,
         )
         _, _, last_value = policy_apply(
-            ts.params, featurize(last_res), mesh=mesh
+            ts.params,
+            featurize(last_res, patient_basal, cgm_prev=cgm_prev, iob=iob),
+            mesh=mesh,
         )
         advs, rets = _gae(cfg, traj, last_value)
         params, opt_state, key, aux = _update(
@@ -306,6 +358,8 @@ def make_train_step(
             env_state=env_state,
             prev_res=last_res,
             key=key,
+            cgm_prev=cgm_prev,
+            iob=iob,
         )
         return new_ts, metrics
 

@@ -74,32 +74,51 @@ def test_nn_controller_matches_xla_policy_rollout():
     )
     keys = jax.random.split(jax.random.PRNGKey(0), B)
     state, res = batch_reset(cfg, eparams, keys, start_min=0)
+    patient_basal = basal_rate(eparams.patient)
+
+    from simglucose_tpu.rl.policy import featurize_parts, iob_step
 
     def body(carry, _):
-        s, prev = carry
-        obs = featurize(prev)
+        s, prev, cgm_prev, iob = carry
+        obs = featurize(prev, patient_basal, cgm_prev=cgm_prev, iob=iob)
         mu, _, _ = policy_apply(policy, obs)
         basal = jax.nn.sigmoid(mu) * scale
         s, r, cres = jax.vmap(partial(autoreset_step, cfg))(
             eparams, s, CtrlAction(basal=basal, bolus=jnp.zeros_like(basal))
         )
-        return (s, cres), (r, obs, mu)
+        # observation-memory recurrence of rl/ppo._rollout (no resets in
+        # the deterministic config, but keep the done-handling identical)
+        n_cgm_prev = jnp.where(
+            r.done, cres.observation.CGM, prev.observation.CGM
+        )
+        n_iob = jnp.where(
+            r.done, jnp.zeros_like(iob),
+            iob_step(iob, r.insulin, cfg.sample_time),
+        )
+        return (s, cres, n_cgm_prev, n_iob), (r, obs, mu)
 
-    (_, _), (traj_e, obs_e, mu_e) = jax.lax.scan(
-        body, (state, res), None, length=T
+    (_, _, _, _), (traj_e, obs_e, mu_e) = jax.lax.scan(
+        body,
+        (state, res, res.observation.CGM,
+         jnp.zeros_like(res.observation.CGM)),
+        None, length=T,
     )
 
     # the kernel's observation planes reconstruct the XLA featurize inputs
-    obs_p = np.stack(
-        [
-            np.asarray(traj_p["octrl"]) / 400.0,
-            (np.asarray(traj_p["octrl"]) - 140.0) / 100.0,
-            np.tanh(np.asarray(traj_p["oins"])),
-            np.tanh(np.asarray(traj_p["ocho"]) / 10.0),
-        ],
-        axis=-1,
+    # (same featurize_parts call the fused learner makes, rl/fused.py)
+    obs_p = np.asarray(
+        featurize_parts(
+            jnp.asarray(traj_p["octrl"]),
+            jnp.asarray(traj_p["oins"]),
+            jnp.asarray(traj_p["ocho"]),
+            jnp.asarray(traj_p["oprev"]),
+            jnp.asarray(traj_p["oiob"]),
+            patient_basal,
+        )
     )
-    np.testing.assert_allclose(obs_p, np.asarray(obs_e), rtol=1e-5, atol=1e-7)
+    # atol covers the trend feature: (cgm - cgm_prev) is a difference of two
+    # near-equal f32 values that themselves agree only to ~1e-5 relative
+    np.testing.assert_allclose(obs_p, np.asarray(obs_e), rtol=1e-5, atol=1e-5)
     # deterministic mode: raw == mu — the in-kernel MLP (MXU, packed
     # weights) agrees with policy_apply on the same observations
     np.testing.assert_allclose(

@@ -34,9 +34,11 @@ def _setup(B, rollout_steps=4):
 
 
 def test_policy_sample_shapes():
+    from simglucose_tpu.models.uva_padova import basal_rate
+
     B = 8
     cfg, env_params, ppo_cfg, ts = _setup(B)
-    obs = featurize(ts.prev_res)
+    obs = featurize(ts.prev_res, basal_rate(env_params.patient))
     basal, raw, logp, value = sample_action(
         ts.params, obs, jax.random.PRNGKey(2)
     )
@@ -93,22 +95,41 @@ def test_ppo_learns_glucose_control():
         cohort_names(B), batch=True, random_init_bg=True, dtype=np.float32
     )
 
+    from simglucose_tpu.models.uva_padova import basal_rate
+    from simglucose_tpu.rl.policy import iob_step
+
+    patient_basal = basal_rate(env_params.patient)
+
     @jax.jit
     def eval_policy(params):
         key = jax.random.PRNGKey(123)
         env_state, res = batch_reset(cfg, env_params, jax.random.split(key, B))
 
         def body(carry, _):
-            s, prev = carry
-            mu, _, _ = policy_apply(params, featurize(prev))
+            s, prev, cgm_prev, iob = carry
+            mu, _, _ = policy_apply(
+                params,
+                featurize(prev, patient_basal, cgm_prev=cgm_prev, iob=iob),
+            )
             basal = jax.nn.sigmoid(mu) * 0.2
             s, r, cres = jax.vmap(
                 partial(autoreset_step, cfg, reward_fun=neg_risk_reward)
             )(env_params, s, CtrlAction(basal=basal, bolus=jnp.zeros_like(basal)))
-            return (s, cres), (r.reward, r.done, basal)
+            # the trend/IOB observation-memory recurrence of rl/ppo._rollout
+            n_cgm_prev = jnp.where(
+                r.done, cres.observation.CGM, prev.observation.CGM
+            )
+            n_iob = jnp.where(
+                r.done, jnp.zeros_like(iob),
+                iob_step(iob, r.insulin, cfg.sample_time),
+            )
+            return (s, cres, n_cgm_prev, n_iob), (r.reward, r.done, basal)
 
-        (_, _), (rew, done, bas) = jax.lax.scan(
-            body, (env_state, res), None, length=200
+        (_, _, _, _), (rew, done, bas) = jax.lax.scan(
+            body,
+            (env_state, res, res.observation.CGM,
+             jnp.zeros_like(res.observation.CGM)),
+            None, length=200,
         )
         return rew.mean(), done.mean(), bas.mean()
 

@@ -53,7 +53,7 @@ def test_ppo_checkpoint_beats_pid_baseline(trained_policy):
     # deploy form must match the training action parameterization
     basal = basal_rate(tables.load_patient_params(names, dtype=_np.float32))
     ppo = evaluate_controller(
-        policy_controller(trained_policy, action_scale=10.0, basal=basal),
+        policy_controller(trained_policy, basal),
         names, hours=HOURS, seed=SEED,
     )
     pid = evaluate_controller("PID", names, hours=HOURS, seed=SEED)
@@ -73,17 +73,24 @@ def test_ppo_checkpoint_beats_pid_baseline(trained_policy):
 
 def test_policy_controller_is_deterministic(trained_policy):
     """The eval form is deterministic: same seed -> identical trace."""
+    import numpy as _np
+
+    from simglucose_tpu import params as tables
+    from simglucose_tpu.models.uva_padova import basal_rate
     from simglucose_tpu.rl.evaluate import (
         evaluate_controller,
         policy_controller,
     )
 
+    basal = basal_rate(
+        tables.load_patient_params(["adolescent#001"], dtype=_np.float32)
+    )
     a = evaluate_controller(
-        policy_controller(trained_policy), ["adolescent#001"], hours=1.0,
-        seed=3,
+        policy_controller(trained_policy, basal), ["adolescent#001"],
+        hours=1.0, seed=3,
     )
     b = evaluate_controller(
-        policy_controller(trained_policy), ["adolescent#001"], hours=1.0,
-        seed=3,
+        policy_controller(trained_policy, basal), ["adolescent#001"],
+        hours=1.0, seed=3,
     )
     np.testing.assert_array_equal(a["BG"], b["BG"])

@@ -48,7 +48,7 @@ def cohort_eval(params, action_scale, hours=24.0, seed=999):
     names = tables.patient_names()
     basal = basal_rate(tables.load_patient_params(names, dtype=np.float32))
     res = evaluate_controller(
-        policy_controller(params, action_scale=action_scale, basal=basal),
+        policy_controller(params, basal, action_scale=action_scale),
         names, hours=hours, seed=seed,
     )
     return res
