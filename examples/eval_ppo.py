@@ -38,14 +38,17 @@ CKPT = os.path.join(
 hours = float(sys.argv[1]) if len(sys.argv) > 1 else 24.0
 seed = int(sys.argv[2]) if len(sys.argv) > 2 else 1234
 
-like = init_policy(jax.random.PRNGKey(0), hidden=64, act="relu")
+# the static metadata states the decoder the checkpoint was TRAINED with
+# (tools/train_ppo_tpu.py: basal-scaled actions, emitted rate =
+# sigmoid(mu) * action_scale * patient_basal); policy_controller reads it
+# from the params, so the deploy form cannot drift from training
+like = init_policy(
+    jax.random.PRNGKey(0), hidden=64, act="relu",
+    action_scale=10.0, scale_by_basal=True,
+)
 policy = restore_state(CKPT, like=like)
 
 names = tables.patient_names()
-# the checkpoint was trained with basal-scaled actions (the kernel's
-# nn_scale_by_basal config, action_scale=10 — tools/train_ppo_tpu.py):
-# emitted rate = sigmoid(mu) * 10 * patient_basal, so one policy output
-# means the same therapy intensity across the cohort's ~6x basal span
 from simglucose_tpu.models.uva_padova import basal_rate  # noqa: E402
 
 basal = basal_rate(tables.load_patient_params(names, dtype=np.float32))

@@ -26,8 +26,8 @@ from simglucose_tpu.rl.policy import PolicyParams, policy_apply
 def policy_controller(
     params: PolicyParams,
     basal: jnp.ndarray,
-    action_scale: float = 10.0,
-    scale_by_basal: bool = True,
+    action_scale: float = None,
+    scale_by_basal: bool = None,
     sample_time: int = 3,
 ):
     """Adapt a trained Gaussian-MLP policy into a functional controller
@@ -45,10 +45,14 @@ def policy_controller(
     ``basal`` (per-patient U/min, ``u2ss*BW/6000`` — the BB therapy basal,
     reference basal_bolus_ctrller.py:64) feeds the featurizer's
     patient-identity / insulin-normalization inputs, and — with
-    ``scale_by_basal`` (the deploy analog of training with
-    ``PPOConfig.scale_by_basal``) — scales the emitted rate to
+    ``scale_by_basal`` — scales the emitted rate to
     ``sigmoid(mu) * action_scale * basal``, so one policy output means the
     same therapy intensity across the ~6x basal span of the cohort.
+
+    ``action_scale``/``scale_by_basal`` default to the decoder the params
+    were TRAINED with (PolicyParams static metadata) — a checkpoint cannot
+    silently deploy at a different action parameterization.  Override only
+    to deliberately re-scale a policy.
 
     The controller state carries the observation memory behind the trend
     and insulin-on-board features (rl/policy.py featurize_parts): the
@@ -59,6 +63,10 @@ def policy_controller(
     ``sample_time`` must match the env's (Dexcom default 3 min)."""
     from simglucose_tpu.rl.policy import featurize_parts, iob_step
 
+    if action_scale is None:
+        action_scale = float(params.action_scale)
+    if scale_by_basal is None:
+        scale_by_basal = bool(params.scale_by_basal)
     b_arr = jnp.asarray(basal)
 
     def policy(state, result):

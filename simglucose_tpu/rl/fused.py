@@ -173,6 +173,12 @@ def make_fused_train_step(
     opt = make_optimizer(cfg)
 
     def train_step(packed_params: jnp.ndarray, ts: FusedTrainState):
+        from simglucose_tpu.rl.policy import check_action_decoder
+
+        check_action_decoder(
+            ts.params, cfg.action_scale, cfg.scale_by_basal,
+            "make_fused_train_step",
+        )
         key, k_seed = jax.random.split(ts.key)
         seed = jax.random.randint(k_seed, (), 0, 2**31 - 1, jnp.int32)
         traj = run(

@@ -55,7 +55,16 @@ class PolicyParams:
     with the wrong nonlinearity.  The pallas in-kernel actor
     (ops/pallas_rollout.py 'nn' controller) implements relu only;
     :func:`~simglucose_tpu.ops.pallas_rollout.pack_policy_weights` rejects
-    anything else."""
+    anything else.
+
+    ``action_scale`` / ``scale_by_basal`` — the action DECODER (emitted
+    rate = ``sigmoid(mu) * action_scale [* patient_basal]``) — are static
+    metadata for the same reason: a network trained at one parameterization
+    deployed at another runs silently as a different controller.  The
+    trainers validate their config against the params
+    (rl/ppo.make_train_step, rl/fused.make_fused_train_step) and the deploy
+    form (rl/evaluate.policy_controller) reads the decoder from the params
+    by default."""
 
     w1: jnp.ndarray  # [OBS_DIM, H]
     b1: jnp.ndarray  # [H]
@@ -67,10 +76,24 @@ class PolicyParams:
     w_v: jnp.ndarray  # [H, 1]
     b_v: jnp.ndarray  # [1]
     act: str = dataclasses.field(default="tanh", metadata=dict(static=True))
+    action_scale: float = dataclasses.field(
+        default=0.2, metadata=dict(static=True)
+    )
+    scale_by_basal: bool = dataclasses.field(
+        default=False, metadata=dict(static=True)
+    )
 
 
-def param_specs(act: str = "tanh") -> PolicyParams:
-    """PartitionSpecs sharding the hidden dimension over 'tp'."""
+def param_specs(
+    act: str = "tanh",
+    action_scale: float = 0.2,
+    scale_by_basal: bool = False,
+) -> PolicyParams:
+    """PartitionSpecs sharding the hidden dimension over 'tp'.
+
+    The static metadata kwargs must match the params the specs are applied
+    to (a PolicyParams tree with different metadata is a different pytree
+    structure)."""
     return PolicyParams(
         w1=P(None, "tp"),
         b1=P("tp"),
@@ -82,6 +105,8 @@ def param_specs(act: str = "tanh") -> PolicyParams:
         w_v=P("tp", None),
         b_v=P(),
         act=act,
+        action_scale=action_scale,
+        scale_by_basal=scale_by_basal,
     )
 
 
@@ -92,6 +117,8 @@ def init_policy(
     init_log_std: float = -0.5,
     init_mu_bias: float = 0.0,
     act: str = "tanh",
+    action_scale: float = 0.2,
+    scale_by_basal: bool = False,
 ) -> PolicyParams:
     """``init_mu_bias`` shifts the initial action distribution: the emitted
     basal starts near ``sigmoid(init_mu_bias) * action_scale``.  The default
@@ -99,9 +126,10 @@ def init_policy(
     ~0.02 U/min at scale 0.2) starts from safe under-insulinization, which
     is the clinically sensible cold-start for training.
 
-    ``act`` picks the trunk activation and is carried in the params (see
-    :class:`PolicyParams`); use 'relu' for networks destined for the
-    pallas-fused actor."""
+    ``act`` picks the trunk activation, ``action_scale``/``scale_by_basal``
+    the action decoder; all three are carried in the params as static
+    metadata (see :class:`PolicyParams`).  Use 'relu' for networks destined
+    for the pallas-fused actor."""
     if act not in ACTIVATIONS:
         raise ValueError(f"act must be one of {ACTIVATIONS}; got {act!r}")
     k1, k2, k3, k4 = jax.random.split(key, 4)
@@ -120,7 +148,29 @@ def init_policy(
         w_v=he(k4, (hidden, 1)),
         b_v=jnp.zeros((1,), dtype),
         act=act,
+        action_scale=float(action_scale),
+        scale_by_basal=bool(scale_by_basal),
     )
+
+
+def check_action_decoder(
+    params: "PolicyParams", action_scale: float, scale_by_basal: bool, where: str
+) -> None:
+    """Raise if a training/deploy config's action decoder disagrees with
+    the decoder the params were built for (PolicyParams static metadata) —
+    the same silent-mismatch class as the trunk-activation check in
+    pack_policy_weights."""
+    if float(params.action_scale) != float(action_scale) or bool(
+        params.scale_by_basal
+    ) != bool(scale_by_basal):
+        raise ValueError(
+            f"{where}: action decoder mismatch — params carry "
+            f"action_scale={params.action_scale}, "
+            f"scale_by_basal={params.scale_by_basal} but the config uses "
+            f"action_scale={action_scale}, scale_by_basal={scale_by_basal}. "
+            f"Build the params with init_policy(..., action_scale=..., "
+            f"scale_by_basal=...) matching the PPOConfig, or fix the config."
+        )
 
 
 def featurize_parts(cgm, insulin, cho, cgm_prev, iob, basal) -> jnp.ndarray:

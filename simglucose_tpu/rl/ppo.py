@@ -324,7 +324,11 @@ def make_train_step(
 
     def train_step(env_params: EnvParams, ts: TrainState):
         from simglucose_tpu.models.uva_padova import basal_rate
+        from simglucose_tpu.rl.policy import check_action_decoder
 
+        check_action_decoder(
+            ts.params, cfg.action_scale, cfg.scale_by_basal, "make_train_step"
+        )
         patient_basal = basal_rate(env_params.patient)
         cgm0 = ts.prev_res.observation.CGM
         # None carries = the cold start (zero trend, zero IOB — exactly the

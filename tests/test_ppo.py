@@ -47,6 +47,27 @@ def test_policy_sample_shapes():
     assert logp.shape == (B,) and value.shape == (B,)
 
 
+def test_action_decoder_mismatch_raises():
+    """A policy trained at one action parameterization cannot silently run
+    under a config with another (PolicyParams carries action_scale/
+    scale_by_basal as static metadata — the activation-check pattern)."""
+    import pytest
+
+    from simglucose_tpu.rl.policy import check_action_decoder
+
+    p = init_policy(jax.random.PRNGKey(0), hidden=8)  # 0.2 / False
+    with pytest.raises(ValueError, match="action decoder mismatch"):
+        check_action_decoder(p, 10.0, True, "test")
+
+    cfg, env_params, _, ts = _setup(4)
+    bad_cfg = PPOConfig(
+        rollout_steps=4, epochs=1, minibatches=2, action_scale=9.0
+    )
+    step = make_train_step(bad_cfg, cfg)
+    with pytest.raises(ValueError, match="action decoder mismatch"):
+        step(env_params, ts)
+
+
 def test_train_step_updates_params_and_is_finite():
     B = 8
     cfg, env_params, ppo_cfg, ts = _setup(B)

@@ -33,7 +33,12 @@ def trained_policy():
 
     if not os.path.exists(CKPT):
         pytest.fail(f"committed checkpoint missing: {CKPT}")
-    like = init_policy(jax.random.PRNGKey(0), hidden=64, act="relu")
+    # the action-decoder metadata must state the decoder the checkpoint was
+    # TRAINED with (tools/train_ppo_tpu.py); policy_controller deploys it
+    like = init_policy(
+        jax.random.PRNGKey(0), hidden=64, act="relu",
+        action_scale=10.0, scale_by_basal=True,
+    )
     return restore_state(CKPT, like=like)
 
 

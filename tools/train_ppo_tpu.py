@@ -38,9 +38,10 @@ CKPT = os.path.join(
 )
 
 
-def cohort_eval(params, action_scale, hours=24.0, seed=999):
+def cohort_eval(params, hours=24.0, seed=999):
     # checkpoint selection uses seed 999; the CI gate (tests/test_ppo_eval.py)
-    # judges at an unrelated seed, so selection cannot overfit the gate
+    # judges at an unrelated seed, so selection cannot overfit the gate.
+    # The action decoder comes from the params' own static metadata.
     from simglucose_tpu import params as tables
     from simglucose_tpu.models.uva_padova import basal_rate
     from simglucose_tpu.rl.evaluate import evaluate_controller, policy_controller
@@ -48,8 +49,7 @@ def cohort_eval(params, action_scale, hours=24.0, seed=999):
     names = tables.patient_names()
     basal = basal_rate(tables.load_patient_params(names, dtype=np.float32))
     res = evaluate_controller(
-        policy_controller(params, basal, action_scale=action_scale),
-        names, hours=hours, seed=seed,
+        policy_controller(params, basal), names, hours=hours, seed=seed,
     )
     return res
 
@@ -83,7 +83,7 @@ def main():
     lam = float(os.environ.get("PPO_LAM", 0.98))
     cfg = PPOConfig(
         rollout_steps=64, epochs=2, minibatches=4, ent_coef=ent, lr=lr,
-        init_log_std=ils, action_scale=scale,
+        init_log_std=ils, action_scale=scale, scale_by_basal=True,
         # insulin acts with a 30-60 min lag (10-20 steps at Dexcom cadence):
         # gamma*lam must keep the hypo consequence of an overdose inside the
         # GAE credit horizon, or training drifts toward over-dosing
@@ -92,6 +92,7 @@ def main():
     policy = init_policy(
         jax.random.fold_in(key, 1), hidden=HIDDEN, act="relu",
         init_log_std=cfg.init_log_std, init_mu_bias=-2.2,
+        action_scale=cfg.action_scale, scale_by_basal=cfg.scale_by_basal,
     )
     ts = init_fused_state(policy, make_optimizer(cfg).init(policy), B, key)
     # CONTINUING-task training (rl/fused.py make_fused_train_step docs):
@@ -122,13 +123,13 @@ def main():
             # the continuing config schedules ~1.2MB over the 16MB scoped
             # VMEM budget at the default t_chunk=16; halving the trajectory
             # block fits with headroom
-            pallas_overrides=dict(t_chunk=8, nn_scale_by_basal=True),
+            pallas_overrides=dict(t_chunk=8),
         ),
         donate_argnums=(1,),
     )
 
     best_ri = float("inf")
-    r0 = cohort_eval(policy, scale)
+    r0 = cohort_eval(policy)
     ri0 = float(r0["risk_index"].mean())
     print(f"iter 0: cohort RI {ri0:.3f} TIR {r0['percent_in_70_180'].mean():.1f}%",
           flush=True)
@@ -147,7 +148,7 @@ def main():
         rew = float(np.asarray(m["reward_mean"])[-1])
         done = float(np.asarray(m["done_frac"])[-1])
         ent = float(np.asarray(m["entropy"])[-1])
-        res = cohort_eval(ts.params, scale)
+        res = cohort_eval(ts.params)
         ri = float(res["risk_index"].mean())
         tir = float(res["percent_in_70_180"].mean())
         hypo = float(res["percent_below_70"].mean())
