@@ -217,7 +217,12 @@ def bench_xla():
     state, reset_res = jax.jit(lambda p, k: batch_reset(cfg, p, k))(params, keys)
     ctrl_state = broadcast_ctrl_state(ctrl0, B)
 
-    run = make_batch_rollout_fn(cfg, ctrl, n_steps=T, donate=True)
+    # reset_cadence amortizes the per-step reset-candidate + midnight-regen
+    # sampling over 16-step chunks (trajectory-exact for surviving lanes;
+    # tests/test_rollout_cadence.py) — measured ~+10-30% on TPU
+    run = make_batch_rollout_fn(
+        cfg, ctrl, n_steps=T, donate=True, reset_cadence=16
+    )
 
     state, last, traj = run(params, state, ctrl_state, reset_res)
     _ = float(np.asarray(traj.reward[-1])[0])

@@ -51,15 +51,26 @@ def sensor_sample(
     state: SensorState,
     BG: jnp.ndarray,
     noise_seq: Optional[jnp.ndarray] = None,
+    noise_value: Optional[jnp.ndarray] = None,
 ) -> Tuple[SensorState, jnp.ndarray]:
     """Draw one CGM sample: BG + noise, clamped (cgm.py:28-33).
 
     Call only at sampling minutes; between samples read ``state.last_CGM``
     (the ZOH, cgm.py:35-36).  With ``noise_seq`` given, the noise comes from
     ``noise_seq[sample_count]`` (exogenous/bit-exact mode) and the on-device
-    lattice state is left untouched.
+    lattice state is left untouched.  With ``noise_value`` given, that
+    scalar IS the noise (scan-xs fast path, envs/rollout.py ``pregen`` —
+    the value is fed per step by ``lax.scan`` so no gather is emitted).
     """
-    if noise_seq is not None:
+    if noise_value is not None:
+        noise = noise_value
+        e, lattice, seg, lattice_next = (
+            state.e,
+            state.lattice,
+            state.seg,
+            state.lattice_next,
+        )
+    elif noise_seq is not None:
         noise = noise_seq[state.sample_count]
         e, lattice, seg, lattice_next = (
             state.e,

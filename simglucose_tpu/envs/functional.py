@@ -50,6 +50,7 @@ from simglucose_tpu.models.uva_padova import observe_gsub
 from simglucose_tpu.scenario.meal import (
     custom_meals_for_step,
     scenario_init,
+    scenario_lookup_for_step,
     scenario_meals_for_step,
 )
 
@@ -102,8 +103,8 @@ class EnvConfig:
     sample_time: int = 3  # CGM sampling period, min (Dexcom)
     substeps: int = 1  # ODE substeps per minute
     method: str = "rk45"  # 'rk45' | 'rk4'
-    noise_mode: str = "native"  # 'native' | 'exogenous'
-    scenario_mode: str = "random"  # 'random' | 'exogenous' | 'custom' | 'none'
+    noise_mode: str = "native"  # 'native' | 'exogenous' | 'xs'
+    scenario_mode: str = "random"  # 'random'|'exogenous'|'custom'|'none'|'xs'
     random_init_bg: bool = False
     bg_done_low: float = 70.0  # episode termination (env.py:103)
     bg_done_high: float = 350.0
@@ -142,6 +143,10 @@ def _noise_seq(cfg: EnvConfig, params: EnvParams) -> Optional[jnp.ndarray]:
                 "(host-pregenerated noise values, e.g. compat.reference_cgm_noise)"
             )
         return params.noise_seq
+    if cfg.noise_mode == "xs":
+        # noise values are fed per step by the rollout scan (exo_noise);
+        # nothing to read from params.
+        return None
     if cfg.noise_mode != "native":
         raise ValueError(f"unknown noise_mode {cfg.noise_mode!r}")
     if params.noise_seq is not None:
@@ -226,8 +231,23 @@ def env_step(
     state: EnvState,
     action: CtrlAction,
     reward_fun: RewardFn = risk_diff_reward,
+    exo_meals: Optional[jnp.ndarray] = None,
+    exo_noise: Optional[jnp.ndarray] = None,
+    scenario_regen: bool = True,
 ) -> tuple[EnvState, StepResult]:
-    """One env step = ``sample_time`` mini-steps (reference: env.py:66-117)."""
+    """One env step = ``sample_time`` mini-steps (reference: env.py:66-117).
+
+    ``exo_meals`` ([sample_time] g/min) / ``exo_noise`` (scalar) feed the
+    'xs' modes: the rollout scan supplies each step's stream values directly
+    so no per-lane gather is emitted (envs/rollout.py ``pregen``).
+
+    ``scenario_regen=False`` (static) skips the candidate next-day plan draw
+    in 'random' mode — the cadenced engines hoist the midnight regeneration
+    to chunk boundaries, which is trajectory-exact as long as the chunk is
+    shorter than the 5h meal-free window after midnight (all meal slots are
+    truncated to [05:00, 23:00], scenario/meal.py TIME_LB/TIME_UB;
+    reference scenario_gen.py:36-44).
+    """
     dtype = state.patient.x.dtype
     st = cfg.sample_time
     p = params.patient
@@ -241,7 +261,16 @@ def env_step(
     t0 = state.patient.t
     scenario = state.scenario
     if cfg.scenario_mode == "random":
-        scenario, meals = scenario_meals_for_step(scenario, t0, st, dtype=dtype)
+        if scenario_regen:
+            scenario, meals = scenario_meals_for_step(
+                scenario, t0, st, dtype=dtype
+            )
+        else:
+            meals = scenario_lookup_for_step(scenario, t0, st)
+    elif cfg.scenario_mode == "xs":
+        if exo_meals is None:
+            raise ValueError("scenario_mode='xs' requires exo_meals")
+        meals = exo_meals
     elif cfg.scenario_mode == "exogenous":
         meals = jax.lax.dynamic_slice(params.meal_seq, (t0,), (st,))
     elif cfg.scenario_mode == "custom":
@@ -271,9 +300,16 @@ def env_step(
         BG_i = observe_gsub(patient.x, p)
         if i == st - 1:
             # patient clock hits a multiple of sample_time -> fresh sample
-            sensor, CGM_i = sensor_sample(
-                params.sensor, st, sensor, BG_i, noise_seq
-            )
+            if cfg.noise_mode == "xs":
+                if exo_noise is None:
+                    raise ValueError("noise_mode='xs' requires exo_noise")
+                sensor, CGM_i = sensor_sample(
+                    params.sensor, st, sensor, BG_i, noise_value=exo_noise
+                )
+            else:
+                sensor, CGM_i = sensor_sample(
+                    params.sensor, st, sensor, BG_i, noise_seq
+                )
         else:
             CGM_i = sensor.last_CGM  # zero-order hold (cgm.py:35-36)
         # accumulate with the reference's exact op order (env.py:77-81):

@@ -109,15 +109,76 @@ def rollout(
     (params/key/start_min) for a batch.  The controller acts on the previous
     step's result, exactly like the reference loop (sim_engine.py:33-37).
 
-    ``pregen=True`` hoists the noise/meal streams out of the scan
-    (:func:`pregen_env`) — same trajectories to within compiler-rounding
-    ulps, substantially faster scan body; requires the native/random
-    modes.  The returned final EnvState's sensor-lattice/scenario
-    internals are frozen at their reset values (the exogenous planes
-    replace them).
+    ``pregen=True`` hoists the noise/meal streams out of the scan — same
+    trajectories to within compiler-rounding ulps; requires the
+    native/random modes.  The planes are computed by the bit-exact
+    pregenerators (:func:`~simglucose_tpu.ops.noise.noise_pregenerate` /
+    :func:`~simglucose_tpu.scenario.meal.meals_pregenerate`) and fed to the
+    scan as **xs** per-step slices.  NOTE: on TPU this is measured SLOWER
+    than the streaming path (7-9M vs 23M steps/s at B=4096) — the XLA scan
+    body is bound by fusion scheduling, not by the stream draws, and the
+    vmapped xs feeding adds strided per-step slices — and only ~8% faster
+    on CPU; it exists as a verified building block (the pregenerators also
+    back the bit-exactness tests), not as the default fast path.  The
+    returned final EnvState's sensor-lattice/scenario internals are frozen
+    at their reset values (the exogenous planes replace them).
     """
     if pregen:
-        cfg, params = pregen_env(cfg, params, key, n_steps, start_min)
+        from simglucose_tpu.ops.noise import noise_pregenerate
+        from simglucose_tpu.scenario.meal import meals_pregenerate
+
+        if cfg.noise_mode != "native" or cfg.scenario_mode != "random":
+            raise ValueError(
+                "pregen requires noise_mode='native' and scenario_mode="
+                f"'random' (got {cfg.noise_mode!r}/{cfg.scenario_mode!r})"
+            )
+        dtype = params.patient.x0.dtype
+        st = cfg.sample_time
+        # env_reset's split — the sensor/scenario subkeys must match exactly
+        _, k_sensor, k_scenario = jax.random.split(key, 3)
+        noise_seq = noise_pregenerate(
+            params.sensor, k_sensor, n_steps + 2, st, dtype=dtype
+        )  # reset consumes samples 0-1 (env.py:126,142), steps 2..n_steps+1
+        meal_seq = meals_pregenerate(
+            k_scenario, start_min, n_steps * st, dtype=dtype
+        )
+        cfg_reset = dataclasses.replace(cfg, noise_mode="exogenous")
+        state, reset_res = env_reset(
+            cfg_reset,
+            params._replace(noise_seq=noise_seq),
+            key,
+            start_min=start_min,
+            init_state=init_state,
+        )
+        cfg_xs = dataclasses.replace(cfg, noise_mode="xs", scenario_mode="xs")
+
+        def body_xs(carry, x):
+            meals_i, noise_i = x
+            state, ctrl_state, prev_res = carry
+            ctrl_state, action = ctrl_fn(ctrl_state, prev_res)
+            state, res = env_step(
+                cfg_xs,
+                params,
+                state,
+                action,
+                reward_fun=reward_fun,
+                exo_meals=meals_i,
+                exo_noise=noise_i,
+            )
+            return (state, ctrl_state, res), res
+
+        # The barrier forces the planes to MATERIALIZE before the scan —
+        # without it XLA fuses the pregeneration into the scan body and
+        # recomputes the full-horizon plan lookup every step (measured
+        # 47.7KB accessed per step-lane vs 185B; 7M vs 23M steps/s).
+        xs = jax.lax.optimization_barrier(
+            (meal_seq.reshape(n_steps, st), noise_seq[2:])
+        )
+        (state, _, _), traj = jax.lax.scan(
+            body_xs, (state, ctrl_init, reset_res), xs
+        )
+        return state, reset_res, traj
+
     state, reset_res = env_reset(
         cfg, params, key, start_min=start_min, init_state=init_state
     )
@@ -177,6 +238,55 @@ def rollout_batch(
 # ---------------------------------------------------------------------------
 
 
+def make_reset_candidates(
+    cfg: EnvConfig, params: EnvParams, state: EnvState
+) -> Tuple[EnvState, StepResult]:
+    """One fresh-episode candidate for a SINGLE env (vmap for a batch),
+    keyed exactly like :func:`autoreset_step`'s in-line reset:
+    ``fold_in(state.key, patient.t)`` -> (random start hour, reset key).
+
+    The cadenced engines draw candidates once per chunk instead of once per
+    step; a lane that terminates mid-chunk adopts the chunk's candidate —
+    same marginal law (the start hour is uniform and the episode key fresh),
+    the start state is just drawn up to ``reset_cadence`` steps early."""
+    new_key = jax.random.fold_in(state.key, state.patient.t)
+    k_hour, k_reset = jax.random.split(new_key)
+    hour = jax.random.randint(k_hour, (), 0, 24)
+    return env_reset(cfg, params, k_reset, start_min=hour * 60)
+
+
+def autoreset_step_with_candidate(
+    cfg: EnvConfig,
+    params: EnvParams,
+    state: EnvState,
+    action,
+    cand: EnvState,
+    cand_res: StepResult,
+    reward_fun=risk_diff_reward,
+) -> Tuple[EnvState, StepResult, StepResult]:
+    """:func:`autoreset_step` semantics with a PRE-DRAWN reset candidate:
+    the env steps (scenario regen deferred to the chunk boundary,
+    ``scenario_regen=False``) and, where done, adopts ``cand``/``cand_res``
+    instead of computing a fresh reset in-line.  Single-env; vmap for a
+    batch.  If the same lane terminates twice within one chunk it re-adopts
+    the same candidate (an identical episode start) — with per-step done
+    rates under 1% and chunks of ~16 steps that is a <2e-2%% event."""
+    state, res = env_step(
+        cfg, params, state, action, reward_fun=reward_fun, scenario_regen=False
+    )
+
+    def pick(a, b):
+        return jnp.where(
+            jnp.reshape(res.done, res.done.shape + (1,) * (a.ndim - res.done.ndim)),
+            a,
+            b,
+        )
+
+    reset_state = jax.tree.map(pick, cand, state)
+    carry_res = jax.tree.map(pick, cand_res, res)
+    return reset_state, res, carry_res
+
+
 def autoreset_step(
     cfg: EnvConfig,
     params: EnvParams,
@@ -206,11 +316,7 @@ def autoreset_step(
     The returned ``state`` already belongs to the new episode where done.
     """
     state, res = env_step(cfg, params, state, action, reward_fun=reward_fun)
-
-    new_key = jax.random.fold_in(state.key, state.patient.t)
-    k_hour, k_reset = jax.random.split(new_key)
-    hour = jax.random.randint(k_hour, (), 0, 24)
-    fresh, fresh_res = env_reset(cfg, params, k_reset, start_min=hour * 60)
+    fresh, fresh_res = make_reset_candidates(cfg, params, state)
 
     def pick(a, b):
         return jnp.where(
@@ -230,12 +336,36 @@ def make_batch_rollout_fn(
     n_steps: int,
     reward_fun=risk_diff_reward,
     donate: bool = True,
+    reset_cadence: int = 1,
 ):
     """Compiled batched auto-reset rollout: (params[B], state[B], ctrl_state)
     -> (state[B], traj[T, B]).  The workhorse behind bench.py and the PPO
-    actor.  State is donated so long runs reuse buffers."""
+    actor.  State is donated so long runs reuse buffers.
+
+    ``reset_cadence=K > 1`` amortizes the rare-path sampling over chunks of
+    K steps (the XLA analog of the pallas kernel's ``regen_every``): fresh-
+    episode reset candidates and the midnight scenario regeneration are
+    computed once per chunk instead of every step, leaving the scan body as
+    pure ODE + device math.  Trajectories of non-terminating lanes are
+    unchanged (the deferred regen is trajectory-exact — scenario/meal.py
+    :func:`~simglucose_tpu.scenario.meal.scenario_lookup_for_step`); lanes
+    that terminate adopt a candidate whose start state was drawn up to K
+    steps early — same law, different stream.  Requires ``n_steps % K == 0``
+    and ``K * sample_time < 300`` (the post-midnight meal-free window)."""
 
     step1 = partial(autoreset_step, cfg, reward_fun=reward_fun)
+    K = int(reset_cadence)
+    if K > 1:
+        if n_steps % K:
+            raise ValueError(f"n_steps={n_steps} not divisible by {K=}")
+        if K * cfg.sample_time >= 300:
+            raise ValueError(
+                f"reset_cadence*sample_time = {K * cfg.sample_time} min must "
+                "stay inside the 5h post-midnight meal-free window "
+                "(scenario/meal.py TIME_LB) for the deferred regen to be "
+                "trajectory-exact"
+            )
+    stepK = partial(autoreset_step_with_candidate, cfg, reward_fun=reward_fun)
 
     def run(params, state: EnvState, ctrl_init, prev_res: StepResult):
         """``ctrl_init`` must be batched per env (use
@@ -250,9 +380,46 @@ def make_batch_rollout_fn(
             # records the terminal result.
             return (state, ctrl_state, carry_res), res
 
-        (state, ctrl_state, last), traj = jax.lax.scan(
-            body, (state, ctrl_init, prev_res), None, length=n_steps
-        )
+        def chunk(carry, _):
+            state, ctrl_state, prev = carry
+            # chunk boundary: catch the scenario up to the wall clock and
+            # draw this chunk's fresh-episode candidates
+            if cfg.scenario_mode == "random":
+                from simglucose_tpu.scenario.meal import scenario_regen_now
+
+                dtype = state.patient.x.dtype
+                scen = jax.vmap(
+                    lambda s, t: scenario_regen_now(s, t, dtype=dtype)
+                )(state.scenario, state.patient.t)
+                state = state._replace(scenario=scen)
+            cand, cand_res = jax.vmap(partial(make_reset_candidates, cfg))(
+                params, state
+            )
+
+            def inner(c2, _):
+                state, ctrl_state, prev = c2
+                ctrl_state, action = jax.vmap(ctrl_fn)(ctrl_state, prev)
+                state, res, carry_res = jax.vmap(stepK)(
+                    params, state, action, cand, cand_res
+                )
+                return (state, ctrl_state, carry_res), res
+
+            (state, ctrl_state, last), traj = jax.lax.scan(
+                inner, (state, ctrl_state, prev), None, length=K
+            )
+            return (state, ctrl_state, last), traj
+
+        if K == 1:
+            (state, ctrl_state, last), traj = jax.lax.scan(
+                body, (state, ctrl_init, prev_res), None, length=n_steps
+            )
+        else:
+            (state, ctrl_state, last), traj = jax.lax.scan(
+                chunk, (state, ctrl_init, prev_res), None, length=n_steps // K
+            )
+            traj = jax.tree.map(
+                lambda a: a.reshape((n_steps,) + a.shape[2:]), traj
+            )
         # state and last share values (e.g. .done) — without a barrier XLA
         # CSEs them into ONE output buffer, and feeding both back into the
         # next donated call trips "buffer was previously donated" (the

@@ -165,9 +165,10 @@ def evaluate_controller(
         lambda p, k, ci: rollout_batch(
             cfg, p, k, ci, ctrl_fn, n_steps,
             start_min=start_min, ctrl_in_axes=ctrl_axes,
-            # fixed-horizon + native modes: hoist the noise/meal streams
-            # out of the scan (envs/rollout.py pregen_env)
-            pregen=True,
+            # pregen is bit-identical but measured slower on TPU (the
+            # scan-xs feeding costs more than the RNG it removes) — keep
+            # the streaming path (see sim/engine.py _simulate_xla note)
+            pregen=False,
         )
     )
     _, reset_res, traj = run(env_params, keys, ctrl_init)

@@ -145,6 +145,58 @@ def scenario_meals_for_step(
     return new_state, meals
 
 
+def scenario_lookup_for_step(
+    state: ScenarioState, t0: jnp.ndarray, sample_time: int
+) -> jnp.ndarray:
+    """Meal lookup for one env step WITHOUT the regeneration check — the
+    cadenced engines (envs/rollout.py) hoist :func:`scenario_regen_now` to
+    chunk boundaries instead of paying the candidate-plan draw (18 threefry
+    variates + 12 ndtri/ndtr) every step.
+
+    Deferring the midnight regen by up to one chunk is trajectory-exact:
+    every meal slot is truncated to [05:00, 23:00] (TIME_LB/TIME_UB;
+    reference scenario_gen.py:36-44), so for chunks shorter than 5 simulated
+    hours no minute-of-day in the deferred window can match a meal in either
+    the old or the new plan.
+    """
+    mins = (
+        state.start_min
+        + jnp.asarray(t0, jnp.int32)
+        + jnp.arange(sample_time, dtype=jnp.int32)
+    )
+    mods = mins % MINUTES_PER_DAY
+    meals = [
+        _lookup(state.meal_times, state.meal_amounts, mods[i])
+        for i in range(sample_time)
+    ]
+    return jnp.stack(meals)
+
+
+def scenario_regen_now(
+    state: ScenarioState, t_now: jnp.ndarray, dtype=jnp.float32
+) -> ScenarioState:
+    """Catch the scenario state up to the patient clock ``t_now`` (minutes
+    since episode start): if the wall clock has entered a new day since the
+    plan was drawn, regenerate it — with exactly the key the streaming path
+    (:func:`scenario_meals_for_step`) would have used at the midnight
+    crossing, ``fold_in(key, day + 1)``, so the produced plan is
+    bit-identical, just drawn up to a chunk late (see
+    :func:`scenario_lookup_for_step` for why that is trajectory-exact).
+    """
+    day_now = (
+        state.start_min + jnp.asarray(t_now, jnp.int32)
+    ) // MINUTES_PER_DAY
+    regen = day_now > state.day
+    cand_times, cand_amounts = create_daily_plan(
+        jax.random.fold_in(state.key, day_now + 1), dtype=dtype
+    )
+    return state._replace(
+        meal_times=jnp.where(regen, cand_times, state.meal_times),
+        meal_amounts=jnp.where(regen, cand_amounts, state.meal_amounts),
+        day=jnp.where(regen, day_now, state.day),
+    )
+
+
 def meals_pregenerate(
     key: jax.Array,
     start_min: jnp.ndarray,

@@ -476,12 +476,14 @@ def simulate(
             start_min, reward_fun, patient_names, start_time,
         )
     else:
-        # fixed-horizon + native modes -> hoist the noise/meal streams out
-        # of the scan (envs/rollout.py pregen_env): bit-identical
-        # trajectories, much cheaper scan body
-        pregen = (
-            cfg.noise_mode == "native" and cfg.scenario_mode == "random"
-        )
+        # pregen (hoisting the noise/meal streams out of the scan,
+        # envs/rollout.py) is bit-identical but measured SLOWER on TPU
+        # (7-9M vs 23M steps/s at B=4096 — the scan-xs feeding costs more
+        # than the per-step RNG it removes; the XLA body is bound by fusion
+        # scheduling, not by the stream draws) and only ~8% faster on CPU.
+        # Keep the general streaming path; the pallas kernel is the fast
+        # path (sim/engine.py _pallas_eligible).
+        pregen = False
         run = jax.jit(
             lambda p, k, ci: rollout_batch(
                 cfg,

@@ -62,7 +62,7 @@ def bench_fixed(pregen):
     return timeit(run, fetch)
 
 
-def bench_autoreset():
+def bench_autoreset(reset_cadence=1):
     cfg, params = make_env(
         cohort_names(B), batch=True, random_init_bg=True, dtype=np.float32
     )
@@ -70,7 +70,9 @@ def bench_autoreset():
     keys = jax.random.split(jax.random.PRNGKey(0), B)
     state, reset_res = jax.jit(lambda p, k: batch_reset(cfg, p, k))(params, keys)
     cs = broadcast_ctrl_state(ctrl0, B)
-    run = make_batch_rollout_fn(cfg, ctrl, n_steps=T, donate=False)
+    run = make_batch_rollout_fn(
+        cfg, ctrl, n_steps=T, donate=False, reset_cadence=reset_cadence
+    )
 
     def call():
         return run(params, state, cs, reset_res)
@@ -92,6 +94,9 @@ def main():
     if which in ("all", "autoreset"):
         s = bench_autoreset()
         print(f"autoreset:       {s/1e6:.2f}M steps/s", flush=True)
+        for K in (16, 64):
+            s = bench_autoreset(reset_cadence=K)
+            print(f"autoreset K={K:3d}: {s/1e6:.2f}M steps/s", flush=True)
 
 
 if __name__ == "__main__":
