@@ -54,6 +54,13 @@ class PPOConfig:
     # lanes at B=8192).  Rounded down to a power-of-two divisor of the
     # minibatch size at trace time.
     shuffle_block: int = 512
+    # reset-candidate / midnight-regen sampling cadence for the XLA rollout
+    # (envs/rollout.py autoreset_step_with_candidate): 1 = exact per-step
+    # resets; K > 1 amortizes the rare-path sampling over K-step chunks —
+    # trajectory-exact for surviving lanes, candidate resets drawn up to K
+    # steps early for dying ones (same law).  The fused pallas trainer has
+    # its own regen_every analog.  rollout_steps must be divisible by K.
+    reset_cadence: int = 1
     # upper bound of the policy's basal range (U/min): the squashed Gaussian
     # emits basal in [0, action_scale].  The pump ceiling (30 U/min) is ~500x
     # a therapeutic basal (~0.01-0.06, vpatient u2ss*BW/6000), so exploring
@@ -132,49 +139,91 @@ def _rollout(
     step_kwargs = {} if reward_fun is None else {"reward_fun": reward_fun}
     st = env_cfg.sample_time
 
-    def body(carry, _):
-        env_state, prev, cgm_prev, iob, key = carry
-        key, k_act = jax.random.split(key)
-        obs = featurize(prev, patient_basal, cgm_prev=cgm_prev, iob=iob)
-        basal, raw, logp, value = sample_action(
-            params, obs, k_act, scale=cfg.action_scale, mesh=mesh
-        )
-        if cfg.scale_by_basal:
-            basal = basal * patient_basal
-        action = CtrlAction(basal=basal, bolus=jnp.zeros_like(basal))
-        env_state, res, carry_res = jax.vmap(
-            partial(autoreset_step, env_cfg, **step_kwargs)
-        )(env_params, env_state, action)
-        reward = res.reward - cfg.done_penalty * res.done.astype(value.dtype)
-        tr = Transition(
-            obs=obs,
-            raw_action=raw,
-            logp=logp,
-            value=value,
-            reward=reward,
-            done=res.done,
-        )
-        # next obs memory: trend baseline is the CGM just acted on; IOB
-        # decays and adds the DELIVERED (post-pump-quantization) dose.  A
-        # reset zeroes both (the new episode's obs has no history).
-        done = res.done
-        next_cgm_prev = jnp.where(
-            done, carry_res.observation.CGM, prev.observation.CGM
-        )
-        next_iob = jnp.where(
-            done, jnp.zeros_like(iob), iob_step(iob, res.insulin, st)
-        )
-        # carry the post-reset observation forward: the first action of each
-        # new episode is computed from the new episode's CGM (reference
-        # semantics, simglucose_gym_env.py:48-51)
-        return (env_state, carry_res, next_cgm_prev, next_iob, key), tr
+    def make_body(step_env):
+        def body(carry, _):
+            env_state, prev, cgm_prev, iob, key = carry
+            key, k_act = jax.random.split(key)
+            obs = featurize(prev, patient_basal, cgm_prev=cgm_prev, iob=iob)
+            basal, raw, logp, value = sample_action(
+                params, obs, k_act, scale=cfg.action_scale, mesh=mesh
+            )
+            if cfg.scale_by_basal:
+                basal = basal * patient_basal
+            action = CtrlAction(basal=basal, bolus=jnp.zeros_like(basal))
+            env_state, res, carry_res = step_env(env_state, action)
+            reward = res.reward - cfg.done_penalty * res.done.astype(value.dtype)
+            tr = Transition(
+                obs=obs,
+                raw_action=raw,
+                logp=logp,
+                value=value,
+                reward=reward,
+                done=res.done,
+            )
+            # next obs memory: trend baseline is the CGM just acted on; IOB
+            # decays and adds the DELIVERED (post-pump-quantization) dose.  A
+            # reset zeroes both (the new episode's obs has no history).
+            done = res.done
+            next_cgm_prev = jnp.where(
+                done, carry_res.observation.CGM, prev.observation.CGM
+            )
+            next_iob = jnp.where(
+                done, jnp.zeros_like(iob), iob_step(iob, res.insulin, st)
+            )
+            # carry the post-reset observation forward: the first action of
+            # each new episode is computed from the new episode's CGM
+            # (reference semantics, simglucose_gym_env.py:48-51)
+            return (env_state, carry_res, next_cgm_prev, next_iob, key), tr
 
-    (env_state, last_res, cgm_prev, iob, key), traj = jax.lax.scan(
-        body,
-        (env_state, prev_res, cgm_prev, iob, key),
-        None,
-        length=cfg.rollout_steps,
-    )
+        return body
+
+    init = (env_state, prev_res, cgm_prev, iob, key)
+    K = cfg.reset_cadence
+    if K <= 1:
+        body = make_body(
+            lambda s, a: jax.vmap(partial(autoreset_step, env_cfg, **step_kwargs))(
+                env_params, s, a
+            )
+        )
+        carry, traj = jax.lax.scan(body, init, None, length=cfg.rollout_steps)
+    else:
+        # cadenced rare-path sampling (see PPOConfig.reset_cadence and
+        # envs/rollout.py make_batch_rollout_fn): candidates + midnight
+        # regen hoisted to chunk boundaries
+        from simglucose_tpu.envs.rollout import (
+            autoreset_step_with_candidate,
+            make_reset_candidates,
+        )
+        from simglucose_tpu.scenario.meal import scenario_regen_now
+
+        def chunk(carry, _):
+            env_state, prev, cgm_prev, iob, key = carry
+            if env_cfg.scenario_mode == "random":
+                dt = env_state.scenario.meal_times.dtype
+                scen = jax.vmap(
+                    lambda s, t: scenario_regen_now(s, t, dtype=dt)
+                )(env_state.scenario, env_state.patient.t)
+                env_state = env_state._replace(scenario=scen)
+            cand, cand_res = jax.vmap(
+                partial(make_reset_candidates, env_cfg)
+            )(env_params, env_state)
+            body = make_body(
+                lambda s, a: jax.vmap(
+                    partial(autoreset_step_with_candidate, env_cfg, **step_kwargs)
+                )(env_params, s, a, cand, cand_res)
+            )
+            carry, traj = jax.lax.scan(
+                body, (env_state, prev, cgm_prev, iob, key), None, length=K
+            )
+            return carry, traj
+
+        carry, traj = jax.lax.scan(
+            chunk, init, None, length=cfg.rollout_steps // K
+        )
+        traj = jax.tree.map(
+            lambda a: a.reshape((cfg.rollout_steps,) + a.shape[2:]), traj
+        )
+    env_state, last_res, cgm_prev, iob, key = carry
     return env_state, last_res, cgm_prev, iob, key, traj
 
 
@@ -320,6 +369,18 @@ def make_train_step(
         from simglucose_tpu.envs.functional import wrap_reward_fn
 
         reward_fun = wrap_reward_fn(reward_fun, env_cfg.window_size)
+    if cfg.reset_cadence > 1:
+        if cfg.rollout_steps % cfg.reset_cadence:
+            raise ValueError(
+                f"rollout_steps={cfg.rollout_steps} not divisible by "
+                f"reset_cadence={cfg.reset_cadence}"
+            )
+        if cfg.reset_cadence * env_cfg.sample_time >= 300:
+            raise ValueError(
+                "reset_cadence*sample_time must stay inside the 5h "
+                "post-midnight meal-free window (envs/rollout.py "
+                "make_batch_rollout_fn)"
+            )
     opt = make_optimizer(cfg)
 
     def train_step(env_params: EnvParams, ts: TrainState):

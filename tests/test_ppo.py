@@ -272,3 +272,35 @@ def test_train_step_sharded_matches_unsharded():
     np.testing.assert_allclose(
         float(m_ref["reward_mean"]), float(m_sh["reward_mean"]), rtol=1e-4
     )
+
+
+def test_train_step_with_reset_cadence():
+    """reset_cadence > 1 (cadenced rare-path sampling, PPOConfig) must
+    train identically in kind: finite metrics, params update, and the
+    validation errors fire on bad configs."""
+    import dataclasses
+
+    import pytest
+
+    B = 8
+    cfg, env_params, ppo_cfg, ts = _setup(B, rollout_steps=8)
+    ppo_k = dataclasses.replace(ppo_cfg, reset_cadence=4)
+    step = jax.jit(make_train_step(ppo_k, cfg))
+    ts2, m = step(env_params, ts)
+    for k, v in m.items():
+        assert np.isfinite(float(v)), k
+    changed = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(ts.params), jax.tree.leaves(ts2.params))
+    )
+    assert changed
+
+    with pytest.raises(ValueError, match="not divisible"):
+        make_train_step(dataclasses.replace(ppo_cfg, reset_cadence=3), cfg)
+    with pytest.raises(ValueError, match="meal-free"):
+        make_train_step(
+            dataclasses.replace(
+                ppo_cfg, rollout_steps=1024, reset_cadence=128
+            ),
+            cfg,
+        )
