@@ -50,10 +50,13 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 B = 4096
 
-# Fused PPO training config (tools/bench_ppo_fused.py, BASELINE config 4)
+# Fused PPO training config (tools/bench_ppo_fused.py, BASELINE config 4).
+# PPO_ITERS = iterations per scanned-loop dispatch: the axon tunnel adds
+# ~25ms per dispatch vs ~3.7ms of device time per iteration, so a longer
+# scan amortizes it (32 -> 222 it/s, 64 -> 240, 128 -> 255; asymptote ~270)
 PPO_B = 8192
 PPO_T = 64
-PPO_ITERS = 32
+PPO_ITERS = 128
 
 
 def _assert_band(name, value, lo, hi):
