@@ -495,10 +495,10 @@ def test_stochastic_law():
     _, packed = _packed(names)
     on_tpu = jax.default_backend() == "tpu"
     # interpret-mode cost is dominated by tracing the unrolled t_chunk body
-    # (~2 min at t_chunk=4); runs themselves are seconds
-    T = 480 if on_tpu else 32
+    # (~80s at t_chunk=2); runs themselves are seconds
+    T = 480 if on_tpu else 16
     pcfg = PallasRolloutConfig(
-        n_steps=T, block_rows=1, t_chunk=60 if on_tpu else 4,
+        n_steps=T, block_rows=1, t_chunk=60 if on_tpu else 2,
         prng="hw" if on_tpu else "sw",
     )
     run = make_pallas_rollout(pcfg, B, interpret=not on_tpu)
