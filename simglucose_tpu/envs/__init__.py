@@ -6,6 +6,7 @@ from simglucose_tpu.envs.functional import (
     env_reset,
     env_step,
 )
+from simglucose_tpu.envs.rllab_compat import Step, step_result_to_rllab
 from simglucose_tpu.envs.rollout import (
     autoreset_step,
     batch_reset,
@@ -28,6 +29,8 @@ __all__ = [
     "batch_reset",
     "broadcast_ctrl_state",
     "make_batch_rollout_fn",
+    "Step",
+    "step_result_to_rllab",
     "T1DSimGymEnv",
     "T1DSimVectorEnv",
     "register_envs",

@@ -171,6 +171,18 @@ def env_reset(
     scenario's midnight rollovers).  Returns the reset observation exactly
     like the reference's ``reset()`` Step.
     """
+    if cfg.noise_mode == "xs":
+        # 'xs' is an internal scan-feeding mode (rollout(pregen=True)): noise
+        # arrives per step from the scan's xs, but reset needs TWO samples
+        # (env.py:126,142) that no scan supplies — resetting under 'xs' would
+        # silently mix native reset noise with exogenous step noise.  The
+        # pregen path resets under a noise_mode='exogenous' config instead
+        # (envs/rollout.py).
+        raise ValueError(
+            "env_reset does not accept noise_mode='xs' — reset under "
+            "noise_mode='exogenous' with the pregenerated plane "
+            "(see rollout(pregen=True)) or use 'native'"
+        )
     dtype = params.patient.x0.dtype
     k_patient, k_sensor, k_scenario = jax.random.split(key, 3)
 

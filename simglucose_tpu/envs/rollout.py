@@ -239,17 +239,22 @@ def rollout_batch(
 
 
 def make_reset_candidates(
-    cfg: EnvConfig, params: EnvParams, state: EnvState
+    cfg: EnvConfig, params: EnvParams, state: EnvState, salt: Optional[int] = None
 ) -> Tuple[EnvState, StepResult]:
     """One fresh-episode candidate for a SINGLE env (vmap for a batch),
     keyed exactly like :func:`autoreset_step`'s in-line reset:
     ``fold_in(state.key, patient.t)`` -> (random start hour, reset key).
 
     The cadenced engines draw candidates once per chunk instead of once per
-    step; a lane that terminates mid-chunk adopts the chunk's candidate —
+    step; a lane that terminates mid-chunk adopts a chunk candidate —
     same marginal law (the start hour is uniform and the episode key fresh),
-    the start state is just drawn up to ``reset_cadence`` steps early."""
+    the start state is just drawn up to ``reset_cadence`` steps early.
+    ``salt`` folds an extra static index into the key so a chunk can draw
+    SEVERAL independent candidates (``salt=None`` keeps the original
+    stream)."""
     new_key = jax.random.fold_in(state.key, state.patient.t)
+    if salt is not None:
+        new_key = jax.random.fold_in(new_key, salt)
     k_hour, k_reset = jax.random.split(new_key)
     hour = jax.random.randint(k_hour, (), 0, 24)
     return env_reset(cfg, params, k_reset, start_min=hour * 60)
@@ -262,18 +267,29 @@ def autoreset_step_with_candidate(
     action,
     cand: EnvState,
     cand_res: StepResult,
+    n_adopt: Optional[jnp.ndarray] = None,
     reward_fun=risk_diff_reward,
-) -> Tuple[EnvState, StepResult, StepResult]:
-    """:func:`autoreset_step` semantics with a PRE-DRAWN reset candidate:
+):
+    """:func:`autoreset_step` semantics with PRE-DRAWN reset candidate(s):
     the env steps (scenario regen deferred to the chunk boundary,
-    ``scenario_regen=False``) and, where done, adopts ``cand``/``cand_res``
-    instead of computing a fresh reset in-line.  Single-env; vmap for a
-    batch.  If the same lane terminates twice within one chunk it re-adopts
-    the same candidate (an identical episode start) — with per-step done
-    rates under 1% and chunks of ~16 steps that is a <2e-2%% event."""
+    ``scenario_regen=False``) and, where done, adopts a candidate instead of
+    computing a fresh reset in-line.  Single-env; vmap for a batch.
+
+    With ``n_adopt=None``, ``cand``/``cand_res`` are one candidate and a
+    lane that terminates twice within one chunk re-adopts it (an identical
+    episode start).  With ``n_adopt`` (int32 adoption count), the candidate
+    leaves carry a leading axis ``[C, ...]`` and termination number *k*
+    adopts candidate ``min(k, C-1)`` — the identical-replay event then
+    requires C+1 terminations of the SAME lane in one chunk (p^(C+1)
+    instead of p^2); returns an extra updated count."""
     state, res = env_step(
         cfg, params, state, action, reward_fun=reward_fun, scenario_regen=False
     )
+    if n_adopt is not None:
+        C = jax.tree.leaves(cand)[0].shape[0]
+        idx = jnp.minimum(n_adopt, C - 1)
+        cand = jax.tree.map(lambda a: a[idx], cand)
+        cand_res = jax.tree.map(lambda a: a[idx], cand_res)
 
     def pick(a, b):
         return jnp.where(
@@ -284,6 +300,8 @@ def autoreset_step_with_candidate(
 
     reset_state = jax.tree.map(pick, cand, state)
     carry_res = jax.tree.map(pick, cand_res, res)
+    if n_adopt is not None:
+        return reset_state, res, carry_res, n_adopt + res.done.astype(jnp.int32)
     return reset_state, res, carry_res
 
 
@@ -392,20 +410,34 @@ def make_batch_rollout_fn(
                     lambda s, t: scenario_regen_now(s, t, dtype=dtype)
                 )(state.scenario, state.patient.t)
                 state = state._replace(scenario=scen)
-            cand, cand_res = jax.vmap(partial(make_reset_candidates, cfg))(
-                params, state
+            # C independent candidates (salt=None preserves the single-
+            # candidate stream for the first adoption): a lane terminating a
+            # second time within the chunk gets a DIFFERENT fresh episode
+            # instead of replaying the first candidate.
+            C = 2
+            drawn = [
+                jax.vmap(
+                    partial(make_reset_candidates, cfg, salt=None if j == 0 else j)
+                )(params, state)
+                for j in range(C)
+            ]
+            cand = jax.tree.map(lambda *xs: jnp.stack(xs), *[c for c, _ in drawn])
+            cand_res = jax.tree.map(
+                lambda *xs: jnp.stack(xs), *[r for _, r in drawn]
             )
+            B = jax.tree.leaves(state)[0].shape[0]
+            n_adopt = jnp.zeros((B,), jnp.int32)
 
             def inner(c2, _):
-                state, ctrl_state, prev = c2
+                state, ctrl_state, prev, n_adopt = c2
                 ctrl_state, action = jax.vmap(ctrl_fn)(ctrl_state, prev)
-                state, res, carry_res = jax.vmap(stepK)(
-                    params, state, action, cand, cand_res
-                )
-                return (state, ctrl_state, carry_res), res
+                state, res, carry_res, n_adopt = jax.vmap(
+                    stepK, in_axes=(0, 0, 0, 1, 1, 0)
+                )(params, state, action, cand, cand_res, n_adopt)
+                return (state, ctrl_state, carry_res, n_adopt), res
 
-            (state, ctrl_state, last), traj = jax.lax.scan(
-                inner, (state, ctrl_state, prev), None, length=K
+            (state, ctrl_state, last, _), traj = jax.lax.scan(
+                inner, (state, ctrl_state, prev, n_adopt), None, length=K
             )
             return (state, ctrl_state, last), traj
 

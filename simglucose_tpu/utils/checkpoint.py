@@ -40,14 +40,32 @@ def save_state(path: str, tree: Any) -> None:
 
 def restore_state(path: str, like: Any) -> Any:
     """Restore a pytree saved by :func:`save_state`.  ``like`` provides the
-    tree structure (and dtypes are taken from the file)."""
-    flat, treedef = _flatten_with_paths(like)
+    tree structure AND the leaf contract: restored leaves are cast to
+    ``like``'s dtypes (so e.g. an f32 checkpoint restored in an x64 session
+    still matches the session's compiled signatures / donated buffers), and
+    a shape mismatch raises with the offending leaf's tree path instead of
+    failing later inside a jitted call."""
+    paths_and_leaves, treedef = jax.tree_util.tree_flatten_with_path(like)
     with np.load(path if path.endswith(".npz") else path + ".npz") as z:
-        leaves = [z[f"leaf_{i}"] for i in range(len(flat))]
-    if len(leaves) != len(flat):
-        raise ValueError(
-            f"checkpoint has {len(leaves)} leaves, expected {len(flat)}"
-        )
+        n_saved = len(z.files)
+        if n_saved != len(paths_and_leaves):
+            raise ValueError(
+                f"checkpoint has {n_saved} leaves, expected "
+                f"{len(paths_and_leaves)}"
+            )
+        leaves = []
+        for i, (keypath, ref) in enumerate(paths_and_leaves):
+            leaf = z[f"leaf_{i}"]
+            ref = np.asarray(ref)
+            if leaf.shape != ref.shape:
+                raise ValueError(
+                    f"checkpoint leaf {jax.tree_util.keystr(keypath)} has "
+                    f"shape {leaf.shape}, expected {ref.shape} — the saved "
+                    "state does not match `like` (wrong batch size / config?)"
+                )
+            if leaf.dtype != ref.dtype:
+                leaf = leaf.astype(ref.dtype)
+            leaves.append(leaf)
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 

@@ -55,6 +55,33 @@ def test_resume_continues_identically(tmp_path):
     )
 
 
+def test_restore_casts_to_like_dtypes(tmp_path):
+    """An f32 checkpoint restored against an f64 `like` comes back in the
+    session's dtypes (round-3 VERDICT item 7)."""
+    import jax.numpy as jnp
+
+    tree = {"w": np.arange(6, dtype=np.float32).reshape(2, 3), "n": np.int32(7)}
+    p = str(tmp_path / "ck.npz")
+    save_state(p, tree)
+    like = {"w": jnp.zeros((2, 3), jnp.float64), "n": jnp.int64(0)}
+    out = restore_state(p, like)
+    assert out["w"].dtype == np.float64
+    assert out["n"].dtype == np.int64
+    np.testing.assert_allclose(np.asarray(out["w"]), tree["w"])
+
+
+def test_restore_rejects_shape_mismatch(tmp_path):
+    import pytest
+
+    tree = {"w": np.zeros((2, 3), np.float32)}
+    p = str(tmp_path / "ck.npz")
+    save_state(p, tree)
+    with pytest.raises(ValueError, match="shape"):
+        restore_state(p, {"w": np.zeros((4, 3), np.float32)})
+    with pytest.raises(ValueError, match="leaves"):
+        restore_state(p, {"w": np.zeros((2, 3), np.float32), "x": np.zeros(2)})
+
+
 def test_manager_rolling(tmp_path):
     mgr = CheckpointManager(str(tmp_path), max_to_keep=2)
     tree = {"a": np.arange(3), "b": np.float32(1.5)}

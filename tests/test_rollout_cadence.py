@@ -93,6 +93,28 @@ def test_cadence_resets_preserve_law():
     assert done_frac_tail < 0.1
 
 
+def test_cadence_second_termination_gets_fresh_candidate():
+    """A lane terminating more than once within one chunk must NOT replay
+    an identical episode start (round-3 ADVICE): the chunk draws C=2
+    candidates and the second adoption takes the second one."""
+    B, T, K = 4, 8, 8
+    # bg_done_low=1e9 makes every step terminal -> every step adopts
+    cfg, params, ctrl, state, cs, rres = _setup(
+        B, random_init_bg=True, bg_done_low=1e9
+    )
+    runK = make_batch_rollout_fn(
+        cfg, ctrl, n_steps=T, donate=False, reset_cadence=K
+    )
+    _, _, tK = runK(params, state, cs, rres)
+    bg = np.asarray(tK.BG)  # [T, B]
+    assert np.asarray(tK.done).all()
+    # step 1 steps out of candidate 0, step 2 out of candidate 1: with the
+    # old single-candidate replay these rows were identical
+    assert (bg[1] != bg[2]).any()
+    # steps >= 2 all re-adopt candidate C-1 == 1 -> identical restarts
+    np.testing.assert_array_equal(bg[2], bg[3])
+
+
 def test_cadence_validation():
     B = 4
     cfg, params, ctrl, *_ = _setup(B)
