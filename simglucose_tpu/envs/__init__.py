@@ -5,6 +5,8 @@ from simglucose_tpu.envs.functional import (
     EnvParams,
     env_reset,
     env_step,
+    rewards_from_cgm,
+    wrap_reward_fn,
 )
 from simglucose_tpu.envs.rllab_compat import Step, step_result_to_rllab
 from simglucose_tpu.envs.rollout import (
@@ -21,6 +23,8 @@ __all__ = [
     "EnvParams",
     "env_reset",
     "env_step",
+    "rewards_from_cgm",
+    "wrap_reward_fn",
     "make_env",
     "cohort_names",
     "rollout",

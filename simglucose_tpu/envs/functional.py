@@ -73,6 +73,17 @@ def wrap_reward_fn(reward_fun: Callable, window_size: int) -> RewardFn:
     works exactly as it does in the reference.
 
     Native 2-arg fns pass through untouched.
+
+    Compile-cost contract (measured, CPU, risk-computing reward inside a
+    jitted rollout): the W-branch switch at the WORST case — Navigator,
+    sample_time=1, W=60 — adds ~1.2s trace + ~0.8s compile over the native
+    path, traced ONCE per program (the scan body is traced once, so the
+    cost is independent of horizon).  Pinned by
+    tests/test_rollout.py::test_wrap_reward_window60_compile_bounded.
+    The shape-polymorphic fast path is the native 2-arg signature
+    ``(window, window_len)``: it traces exactly once on the full fixed-size
+    window with the valid-length supplied — write rewards in that form when
+    the W-fold trace matters.
     """
     import inspect
 
@@ -93,6 +104,42 @@ def wrap_reward_fn(reward_fun: Callable, window_size: int) -> RewardFn:
         return jax.lax.switch(idx, branches)
 
     return wrapped
+
+
+def rewards_from_cgm(
+    reward_fun: Callable,
+    window_size: int,
+    cgm0: jnp.ndarray,
+    cgm: jnp.ndarray,
+) -> jnp.ndarray:
+    """Recompute the per-step reward plane from a CGM trajectory, replaying
+    ``env_step``'s ring-buffer window law exactly (reference:
+    simulation/env.py:100-102 — reward over ``CGM_hist[-window_size:]``).
+
+    ``cgm0`` [B] is the reset history sample (``env_reset``'s CGM_hist0,
+    env.py:126-129); ``cgm`` [T, B] the per-step CGM.  Returns [T, B]
+    rewards equal to what the env path would have produced for the same
+    CGM values — this is how the pallas engine serves arbitrary
+    (window-based) ``reward_fun``s: the kernel emits the trajectory planes
+    and the reward is one XLA scan over them (the ``rl/fused.py``
+    ``reward_fn`` pattern, generalized).  ``reward_fun`` may be native
+    2-arg ``(window, window_len)`` or a reference-style 1-arg fn
+    (wrapped via :func:`wrap_reward_fn`)."""
+    rf = wrap_reward_fn(reward_fun, window_size)
+    W = int(window_size)
+    B = cgm0.shape[0]
+    window = jnp.zeros((W, B), cgm.dtype).at[-1].set(cgm0)
+    rf_b = jax.vmap(rf, in_axes=(1, None), out_axes=0)  # [W, B] -> [B]
+
+    def body(carry, cgm_t):
+        window, wlen = carry
+        window = jnp.concatenate([window[1:], cgm_t[None]], axis=0)
+        wlen = jnp.minimum(wlen + 1, W)
+        r = rf_b(window, wlen)
+        return (window, wlen), r
+
+    _, rewards = jax.lax.scan(body, (window, jnp.int32(1)), cgm)
+    return rewards
 
 
 @dataclasses.dataclass(frozen=True)

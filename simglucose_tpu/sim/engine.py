@@ -124,8 +124,14 @@ def _pallas_eligible(
         return f"substeps={substeps} (kernel is rk4/substeps=1)"
     if dtype != np.float32:
         return f"dtype={np.dtype(dtype).name} (kernel is float32)"
-    if reward_fun is not risk_diff_reward:
-        return "a custom reward_fun"
+    # reward_fun is NOT a blocker: the results frame has no reward column
+    # (reference schema, env.py:169-180) and the eligible controllers
+    # (BB/PID) never read the reward, so any window-based reward_fun is
+    # recomputed in XLA from the kernel's CGM planes after the rollout
+    # (envs/functional.rewards_from_cgm) and attached as
+    # ``df.attrs['reward']`` — identical to what the env path would emit
+    # for the same CGM values.
+    del reward_fun
     ctrl_name, ctrl_kwargs = _controller_spec(controller)
     # kwarg whitelist is PER CONTROLLER: BB accepts only 'target' (the XLA
     # path's bb_policy raises on P/I/D), so ('BB', {'P': ...}) must NOT be
@@ -160,6 +166,7 @@ def _simulate_pallas(
     sample_time_check=None,
     interpret=False,
     scenario=None,
+    reward_fun=risk_diff_reward,
 ):
     """Cohort simulation on the single-kernel in-VMEM pallas engine
     (~40x the XLA scan path; see ops/pallas_rollout.py).  Fixed horizon, no
@@ -263,6 +270,15 @@ def _simulate_pallas(
     # per-step risk columns (reference env.py:83-85) computed on device
     LBGI, HBGI, RI = jax.jit(risk_scalar)(traj["BG"])
     L0, H0, R0 = jax.jit(risk_scalar)(traj["BG0"])
+    # per-step rewards recomputed in XLA from the kernel's CGM planes with
+    # the exact ring-buffer window law (envs/functional.rewards_from_cgm) —
+    # this is what makes ANY window-based reward_fun pallas-eligible
+    from simglucose_tpu.envs.functional import rewards_from_cgm
+
+    W = max(60 // cfg.sample_time, 2)
+    rewards = jax.jit(
+        lambda c0, c: rewards_from_cgm(reward_fun, W, c0, c)
+    )(traj["CGM0"], traj["CGM"])
 
     host = lambda a: np.asarray(a)[..., :B]
     zeros = np.zeros(B, np.float32)
@@ -284,9 +300,11 @@ def _simulate_pallas(
         HBGI=host(H0),
         risk=host(R0),
     )
-    return cohort_frame(
+    df = cohort_frame(
         reset_ns, traj_ns, patient_names, start_time, cfg.sample_time
     )
+    df.attrs["reward"] = host(rewards)  # [T, B]
+    return df
 
 
 def simulate(
@@ -325,9 +343,17 @@ def simulate(
     ``engine``: 'xla' — the general ``jit(vmap(scan))`` path (any
     controller/reward/scenario, bit-level seed reproducibility via threefry);
     'pallas' — the single-kernel in-VMEM fast path (~1B env-steps/s/chip;
-    BB/PID, random scenarios, TPU only, law-level seed reproducibility via
-    the TPU hardware PRNG — raises ValueError if the config needs the
-    general path); 'auto' — pallas when eligible, else xla.
+    BB/PID, random or custom meal scenarios, any window-based reward_fun,
+    TPU only, law-level seed reproducibility via the TPU hardware PRNG —
+    raises ValueError if the config needs the general path); 'auto' —
+    pallas whenever eligible (any cohort size), else xla.
+
+    Both engines attach the per-step reward plane as
+    ``df.attrs['reward']`` ([T, B]) — the reference frame schema has no
+    reward column (env.py:169-180), so rewards ride alongside; on the
+    pallas engine they are recomputed in XLA from the kernel's CGM planes
+    with the exact ring-buffer window law
+    (:func:`~simglucose_tpu.envs.functional.rewards_from_cgm`).
 
     ``compat_mode=True`` is the verification configuration: float64, rk45 at
     4 substeps/min, and MT19937-bit-exact CGM noise + meal scenario shared
@@ -370,10 +396,10 @@ def simulate(
             f"engine='pallas' cannot run this config ({blocker}); "
             "use engine='xla' or 'auto'"
         )
-    # auto: the kernel wins big at cohort scale but pays a larger one-off
-    # compile; small cohorts stay on the XLA path unless explicitly asked
-    if engine == "auto" and B < 512:
-        blocker = blocker or f"auto heuristic: B={B} < 512"
+    # auto: the kernel is the default whenever eligible, at ANY cohort size
+    # — measured on-chip, the kernel beats the XLA path even at B=30 (the
+    # flagship default) once compiled, and the compile cache makes the
+    # one-off cost moot across runs.
     if engine in ("pallas", "auto") and blocker is None:
         n_steps_p = int(sim_time.total_seconds() // 60) // tables.sensor_sample_time(cgm_name)
         seed = (0 if scenario_seed is None else int(scenario_seed)) * 1000003 + (
@@ -391,6 +417,7 @@ def simulate(
             seed,
             start_time,
             scenario=scenario,
+            reward_fun=reward_fun,
         )
         logger.info(
             "Simulation of %d patients x %s took %.3f s (pallas engine)",
@@ -505,6 +532,7 @@ def simulate(
         df = cohort_frame(
             reset_res, traj_tb, patient_names, start_time, cfg.sample_time
         )
+        df.attrs["reward"] = np.asarray(traj_tb.reward)  # [T, B]
     toc = time.time()
     logger.info(
         "Simulation of %d patients x %s took %.3f s (one compiled program)",
@@ -575,9 +603,11 @@ def _simulate_animated(
     for v in viewers:
         v.close()
     full = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *pieces)
-    return cohort_frame(
+    df = cohort_frame(
         reset_res, full, patient_names, start_time, cfg.sample_time
     )
+    df.attrs["reward"] = np.asarray(full.reward)  # [T, B]
+    return df
 
 
 class SimObj:

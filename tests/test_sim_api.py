@@ -182,7 +182,10 @@ def test_engine_param_validation():
     assert "animate" in ok(animate=True)
     assert "substeps" in ok(substeps=4)
     assert "dtype" in ok(dtype=np.float64)
-    assert "reward" in ok(reward_fun=lambda w, n: 0.0)
+    # custom rewards are ELIGIBLE: the frame has no reward column and the
+    # plane is recomputed from the kernel's CGM planes (rewards_from_cgm),
+    # so only the backend blocks on CPU
+    assert "backend" in ok(reward_fun=lambda w, n: 0.0)
     assert "controller" in ok(controller=((), lambda s, r: None))
     # the kwarg whitelist is PER controller: BB takes only 'target' (the
     # XLA path's bb_policy raises on P/I/D), so ('BB', {'P': ...}) must be
@@ -258,7 +261,10 @@ def test_simulate_pallas_custom_scenario_interpret():
         assert np.isfinite(df.loc[name].BG.to_numpy()).all()
 
 
-def test_engine_auto_small_cohort_uses_xla():
+def test_engine_auto_small_cohort_falls_back_off_tpu():
+    """engine='auto' runs the XLA path on CPU (backend blocker) at any
+    cohort size — on TPU the kernel is the default for ALL eligible
+    configs, B=30 included (no B<512 heuristic)."""
     df = simulate(
         sim_time=timedelta(hours=1),
         patient_names=["adolescent#001"],
@@ -266,3 +272,86 @@ def test_engine_auto_small_cohort_uses_xla():
         engine="auto",
     )
     assert len(df.loc["adolescent#001"]) == 60 // 3 + 1
+    assert df.attrs["reward"].shape == (60 // 3, 1)
+
+
+def test_rewards_from_cgm_matches_env_path():
+    """The pallas engine's post-hoc reward recompute must equal the env
+    path's in-loop rewards for the SAME CGM trajectory — for both the
+    native 2-arg reward and a reference-style 1-arg reward (variable-length
+    window semantics at episode start included)."""
+    import jax
+
+    from simglucose_tpu.controllers.functional import pid_controller
+    from simglucose_tpu.envs.build import cohort_names, make_env
+    from simglucose_tpu.envs.functional import rewards_from_cgm
+    from simglucose_tpu.envs.rollout import rollout_batch
+
+    def custom_1arg(BG_last_hour):
+        # trace-time Python over the variable-length window, like the
+        # reference's risk_diff (simulation/env.py:26-32)
+        if len(BG_last_hour) < 3:
+            return 0.0
+        return BG_last_hour[-1] - BG_last_hour[-3] + 0.01 * len(BG_last_hour)
+
+    B, T = 3, 25
+    cfg, params = make_env(cohort_names(B), batch=True, dtype=np.float32)
+    ctrl0, ctrl = pid_controller(cfg.sample_time, P=-1e-4)
+    keys = jax.random.split(jax.random.PRNGKey(5), B)
+
+    from simglucose_tpu.analysis.risk import risk_diff_reward
+    from simglucose_tpu.envs.functional import wrap_reward_fn
+
+    for rf in (risk_diff_reward, custom_1arg):
+        rf_env = wrap_reward_fn(rf, cfg.window_size)  # what simulate() does
+        _, reset_res, traj = jax.jit(
+            lambda p, k: rollout_batch(
+                cfg, p, k, ctrl0, ctrl, T, reward_fun=rf_env
+            )
+        )(params, keys)
+        cgm0 = np.asarray(reset_res.CGM)  # [B] reset history sample
+        cgm = np.asarray(traj.CGM).T  # [T, B]
+        rec = jax.jit(
+            lambda c0, c: rewards_from_cgm(rf, cfg.window_size, c0, c)
+        )(cgm0, cgm)
+        np.testing.assert_allclose(
+            np.asarray(rec), np.asarray(traj.reward).T, rtol=1e-6, atol=1e-6
+        )
+
+
+def test_simulate_pallas_custom_reward_interpret():
+    """simulate()'s pallas engine accepts a custom 1-arg reward_fun: the
+    plane lands in df.attrs['reward'] and obeys the window law vs a direct
+    recompute from the frame's CGM column."""
+    import jax
+
+    from simglucose_tpu.envs.functional import rewards_from_cgm
+    from simglucose_tpu.sim.engine import _simulate_pallas
+
+    def custom(BG_last_hour):
+        if len(BG_last_hour) < 2:
+            return 0.0
+        return BG_last_hour[-2] - BG_last_hour[-1]
+
+    names = ["adolescent#001", "adult#003"]
+    df = _simulate_pallas(
+        names,
+        "Dexcom",
+        "Insulet",
+        "PID",
+        n_steps=2,
+        start_min=0,
+        random_init_bg=False,
+        seed=3,
+        start_time=datetime(2018, 1, 1),
+        interpret=True,
+        reward_fun=custom,
+    )
+    r = df.attrs["reward"]
+    assert r.shape == (2, 2)
+    assert np.isfinite(r).all()
+    for i, name in enumerate(names):
+        cgm = df.loc[name].CGM.to_numpy()  # [reset, step1, step2]
+        # window law: step1 sees [cgm0, cgm1] -> cgm0 - cgm1, etc.
+        np.testing.assert_allclose(r[0, i], cgm[0] - cgm[1], rtol=1e-6)
+        np.testing.assert_allclose(r[1, i], cgm[1] - cgm[2], rtol=1e-6)
