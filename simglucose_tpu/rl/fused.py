@@ -107,6 +107,7 @@ def make_fused_train_step(
     reward_kind: str = "risk_diff",
     continuing: bool = False,
     reward_fn=None,
+    stages: str = "full",
 ):
     """Build the fused PPO iteration: pallas actor + XLA learner.
 
@@ -141,7 +142,15 @@ def make_fused_train_step(
     training objectives (e.g. hypo-weighted risk) without kernel changes.
     The reference's pluggable ``reward_fun`` (simulation/env.py:100-102)
     at trainer scope; costs one fused elementwise pass over [T, B].
+
+    ``stages`` truncates the iteration for device-time profiling
+    (tools/profile_fused_ppo.py): 'rollout' = kernel + state carry only;
+    'forward' = + featurize / logp-value forwards / GAE (no update);
+    'full' (default) = the real training step.  Non-'full' stages keep
+    params/opt_state unchanged.
     """
+    if stages not in ("rollout", "forward", "full"):
+        raise ValueError(f"stages must be rollout|forward|full; got {stages!r}")
     from simglucose_tpu.ops.pallas_rollout import config_for_sensor
 
     over = dict(
@@ -188,19 +197,33 @@ def make_fused_train_step(
             state=(ts.state_f, ts.state_i),
             init=ts.init,
         )
+        if stages == "rollout":
+            state_f, state_i = jax.lax.optimization_barrier(
+                (traj["state_f"], traj["state_i"])
+            )
+            metrics = {
+                "reward_mean": traj["reward"].mean(),
+                "done_frac": traj["done"].mean(),
+            }
+            return ts._replace(
+                state_f=state_f, state_i=state_i, init=jnp.int32(0), key=key
+            ), metrics
         # recompute logp/value at the rollout params in one batched forward
         basal = packed_basal(packed_params)  # [B], static per patient
         obs = _features(
             traj["octrl"], traj["oins"], traj["ocho"], traj["oprev"],
             traj["oiob"], basal,
         )  # [T, B, OBS_DIM]
-        mu, log_std, value = policy_apply(ts.params, obs)
+        # the recompute and the minibatch loss forward share one
+        # compute_dtype so the epoch-0 ratio at unchanged params is exactly 1
+        cdt = jnp.bfloat16 if cfg.learner_bf16 else None
+        mu, log_std, value = policy_apply(ts.params, obs, compute_dtype=cdt)
         logp = gaussian_logprob(mu, log_std, traj["raw"])
         tail_obs = _features(
             traj["tail_octrl"], traj["tail_oins"], traj["tail_ocho"],
             traj["tail_oprev"], traj["tail_oiob"], basal,
         )
-        _, _, last_value = policy_apply(ts.params, tail_obs)
+        _, _, last_value = policy_apply(ts.params, tail_obs, compute_dtype=cdt)
 
         done = traj["done"]
         base_reward = (
@@ -219,9 +242,24 @@ def make_fused_train_step(
             done=gae_done,
         )
         advs, rets = _gae(cfg, tr, last_value)
+        if stages == "forward":
+            state_f, state_i = jax.lax.optimization_barrier(
+                (traj["state_f"], traj["state_i"])
+            )
+            metrics = {
+                "reward_mean": reward.mean(),
+                "done_frac": done.mean(),
+                # keep the forward/GAE outputs live so XLA can't DCE them
+                "adv_mean": advs.mean(),
+                "ret_mean": rets.mean(),
+                "logp_mean": logp.mean(),
+            }
+            return ts._replace(
+                state_f=state_f, state_i=state_i, init=jnp.int32(0), key=key
+            ), metrics
         params, opt_state, key, aux = _update(
             cfg, opt, ts.params, ts.opt_state, tr, advs, rets, key,
-            mesh=mesh,
+            mesh=mesh, interpret=interpret,
         )
         metrics = {
             "reward_mean": reward.mean(),

@@ -243,35 +243,53 @@ def policy_apply(
     params: PolicyParams,
     obs: jnp.ndarray,
     mesh: Optional[Mesh] = None,
+    compute_dtype=None,
 ):
     """Returns (mu, log_std, value) for obs [..., OBS_DIM].
 
-    All matmuls carry ``preferred_element_type=float32`` so bf16 params still
-    accumulate in f32 on the MXU.
+    All matmuls carry ``preferred_element_type=float32`` so reduced-
+    precision inputs still accumulate in f32 on the MXU.
+    ``compute_dtype=jnp.bfloat16`` runs the trunk in bf16: matmul inputs
+    AND the materialized hidden activations are bf16 (f32 accumulation,
+    f32 bias-add in the matmul epilogue, f32 heads/outputs); params and
+    optimizer state stay f32 (see PPOConfig.learner_bf16).  The learner's
+    grad step is HBM-bound on the hidden activations (measured: bf16 at
+    the dot inputs alone — f32 h in memory — gains nothing), so the bf16
+    STORAGE is what halves the traffic.
 
     The trunk activation comes from ``params.act`` (static metadata — see
     :class:`PolicyParams`), so a checkpoint is always applied with the
     nonlinearity it was trained with; there is no way to run a tanh-trained
     network as relu or vice versa."""
     f = jnp.tanh if params.act == "tanh" else lambda x: jnp.maximum(x, 0.0)
+    cast = (lambda x: x) if compute_dtype is None else (
+        lambda x: x.astype(compute_dtype)
+    )
 
     def cstr(x, spec):
         if mesh is not None and "tp" in mesh.axis_names:
             return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
         return x
 
-    h = f(
-        cstr(
-            jnp.dot(obs, params.w1, preferred_element_type=jnp.float32) + params.b1,
-            P("dp", "tp") if obs.ndim == 2 else P("tp"),
+    dot = lambda a, b: jnp.dot(
+        cast(a), cast(b), preferred_element_type=jnp.float32
+    )
+    h = cast(
+        f(
+            cstr(
+                dot(obs, params.w1) + params.b1,
+                P("dp", "tp") if obs.ndim == 2 else P("tp"),
+            )
         )
     )
-    h = f(
-        jnp.dot(h, params.w2, preferred_element_type=jnp.float32) + params.b2
-    )
-    mu = jnp.dot(h, params.w_mu, preferred_element_type=jnp.float32) + params.b_mu
-    v = jnp.dot(h, params.w_v, preferred_element_type=jnp.float32) + params.b_v
-    return mu[..., 0], params.log_std[0], v[..., 0]
+    h = cast(f(dot(h, params.w2) + params.b2))
+    # one [H, 2] head matmul instead of two [H, 1] ones: each output column
+    # is an independent dot over the same K, so values are unchanged, but
+    # the learner launches half the head kernels per minibatch
+    w_head = jnp.concatenate([params.w_mu, params.w_v], axis=1)
+    b_head = jnp.concatenate([params.b_mu, params.b_v])
+    hv = dot(h, w_head) + b_head
+    return hv[..., 0], params.log_std[0], hv[..., 1]
 
 
 def gaussian_logprob(mu, log_std, x):

@@ -77,6 +77,21 @@ class PPOConfig:
     # policy_controller(..., basal=...).
     scale_by_basal: bool = False
     init_log_std: float = -0.5
+    # mixed-precision learner: cast matmul inputs (activations + weights) to
+    # bf16 in the PPO loss forward/backward — f32 accumulation on the MXU,
+    # f32 params/optimizer state (policy_apply compute_dtype).  ~2x the
+    # learner matmul throughput; the policy ratio stays consistent because
+    # logp_old and the minibatch logp are recomputed by the same bf16
+    # forward in the fused trainer.  Off by default (CI trains f32).
+    learner_bf16: bool = False
+    # run each minibatch grad step as ONE fused pallas kernel
+    # (ops/pallas_ppo_learner.py): forward + clipped-surrogate loss +
+    # hand-derived backward in a single pass over VMEM-resident row tiles,
+    # instead of XLA's ~10 separate HBM-streaming kernels per step
+    # (gradient parity pinned by tests/test_pallas_ppo_learner.py).
+    # Matmul inputs follow learner_bf16.  Single-device learner only
+    # (mesh=None); ignored — with the XLA fallback — under a mesh.
+    pallas_learner: bool = False
     # subtracted from the step reward when the episode terminates (BG<70 or
     # BG>350).  With auto-reset, termination respawns the patient at a
     # healthy BG, so under dense negative rewards a policy can "farm" the
@@ -111,8 +126,14 @@ class Transition(NamedTuple):
 
 
 def make_optimizer(cfg: PPOConfig):
-    return optax.chain(
-        optax.clip_by_global_norm(cfg.max_grad_norm), optax.adam(cfg.lr)
+    # flatten: clip + adam run over ONE packed [P] vector instead of 9
+    # small leaves — same math, ~1/9th the tiny-kernel launches per
+    # minibatch (the learner is launch-bound, not FLOPs-bound: the whole
+    # policy is ~5K params)
+    return optax.flatten(
+        optax.chain(
+            optax.clip_by_global_norm(cfg.max_grad_norm), optax.adam(cfg.lr)
+        )
     )
 
 
@@ -261,7 +282,10 @@ def _ppo_loss(
     mesh: Optional[Mesh],
 ):
     obs, raw, logp_old, adv, ret = batch
-    mu, log_std, value = policy_apply(params, obs, mesh=mesh)
+    mu, log_std, value = policy_apply(
+        params, obs, mesh=mesh,
+        compute_dtype=jnp.bfloat16 if cfg.learner_bf16 else None,
+    )
     logp = gaussian_logprob(mu, log_std, raw)
     ratio = jnp.exp(logp - logp_old)
     adv_n = (adv - adv.mean()) / (adv.std() + 1e-8)
@@ -284,6 +308,7 @@ def _update(
     rets: jnp.ndarray,
     key: jax.Array,
     mesh: Optional[Mesh],
+    interpret: bool = False,
 ):
     """The PPO learner: epochs x minibatches of clipped-surrogate updates
     over a [T, B] rollout.  Shared by the XLA-rollout trainer
@@ -293,20 +318,16 @@ def _update(
     a full random permutation of T*B rows costs a per-row gather — measured
     46 ms of a 73 ms iteration on v5e (random row gathers are scalar-core
     driven) — while permuting contiguous blocks is a DMA-friendly copy
-    (~1 ms) that still mixes time steps and patients across minibatches."""
+    (~1 ms) that still mixes time steps and patients across minibatches.
+
+    With ``cfg.pallas_learner`` (and no mesh) the packed buffer is
+    FEATURE-MAJOR and each grad step runs as one fused pallas kernel
+    (ops/pallas_ppo_learner.py); the shuffle, adam, and scan scaffolding
+    are identical."""
     T, B = traj.reward.shape
     N = T * B
     obs_dim = traj.obs.shape[-1]
-    packed = jnp.concatenate(
-        [
-            traj.obs.reshape(N, obs_dim),
-            traj.raw_action.reshape(N, 1),
-            traj.logp.reshape(N, 1),
-            advs.reshape(N, 1),
-            rets.reshape(N, 1),
-        ],
-        axis=1,
-    )
+    use_pallas = bool(cfg.pallas_learner) and mesh is None
     mb_size = N // cfg.minibatches
     # keep >=256 blocks so small (CI-scale) runs still mix well; at bench
     # scale (N=524288) this is the full 512-row block size
@@ -315,26 +336,106 @@ def _update(
         bs //= 2
     n_blocks = N // bs
 
+    if use_pallas:
+        from simglucose_tpu.ops.pallas_ppo_learner import (
+            pack_minibatch_rows,
+            ppo_grad_step_gather,
+        )
+
+        packed = pack_minibatch_rows(
+            traj.obs.reshape(N, obs_dim),
+            traj.raw_action.reshape(N),
+            traj.logp.reshape(N),
+            advs.reshape(N),
+            rets.reshape(N),
+        )  # [FM_ROWS, N]
+        # per-shuffle-block advantage sums: each minibatch's adv mean/std
+        # (the values jnp.mean/std would produce) combine from its blocks'
+        # sums — a [blocks_per_mb] gather instead of a [mb] reduction
+        adv_b = advs.reshape(n_blocks, bs)
+        adv_bsum = adv_b.sum(axis=1)
+        adv_bsq = (adv_b * adv_b).sum(axis=1)
+        bpm = n_blocks // cfg.minibatches
+        import math as _math
+
+        cdt = jnp.bfloat16 if cfg.learner_bf16 else jnp.float32
+        ent_const = 0.5 * _math.log(2 * _math.pi * _math.e)
+    else:
+        packed = jnp.concatenate(
+            [
+                traj.obs.reshape(N, obs_dim),
+                traj.raw_action.reshape(N, 1),
+                traj.logp.reshape(N, 1),
+                advs.reshape(N, 1),
+                rets.reshape(N, 1),
+            ],
+            axis=1,
+        )
+
     def epoch(carry, _):
         params, opt_state, key = carry
         key, k_perm = jax.random.split(key)
         perm = jax.random.permutation(k_perm, n_blocks)
-        shuffled = packed.reshape(n_blocks, bs, obs_dim + 4)[perm]
-        shuffled = shuffled.reshape(N, obs_dim + 4)
+        if not use_pallas:
+            shuffled = packed.reshape(n_blocks, bs, obs_dim + 4)[perm]
+            shuffled = shuffled.reshape(N, obs_dim + 4)
 
         def minibatch(carry, i):
             params, opt_state = carry
-            rows = jax.lax.dynamic_slice_in_dim(shuffled, i * mb_size, mb_size)
-            mb = (
-                rows[:, :obs_dim],
-                rows[:, obs_dim],
-                rows[:, obs_dim + 1],
-                rows[:, obs_dim + 2],
-                rows[:, obs_dim + 3],
-            )
-            grads, aux = jax.grad(
-                lambda p: _ppo_loss(cfg, p, mb, mesh), has_aux=True
-            )(params)
+            if use_pallas:
+                import dataclasses as _dc
+
+                perm_mb = jax.lax.dynamic_slice_in_dim(perm, i * bpm, bpm)
+                s1 = adv_bsum[perm_mb].sum()
+                s2 = adv_bsq[perm_mb].sum()
+                mean = s1 / mb_size
+                std = jnp.sqrt(jnp.maximum(s2 / mb_size - mean * mean, 0.0))
+                out = ppo_grad_step_gather(
+                    packed,
+                    perm_mb,
+                    bs,
+                    params.w1, params.b1, params.w2, params.b2,
+                    jnp.concatenate([params.w_mu, params.w_v], axis=1),
+                    jnp.concatenate([params.b_mu, params.b_v]),
+                    params.log_std[0],
+                    mean, std,
+                    act=params.act,
+                    clip_eps=cfg.clip_eps,
+                    vf_coef=cfg.vf_coef,
+                    compute_dtype=cdt,
+                    interpret=interpret,
+                )
+                grads = _dc.replace(
+                    params,
+                    w1=out.dw1,
+                    b1=out.db1,
+                    w2=out.dw2,
+                    b2=out.db2,
+                    w_mu=out.dw_head[:, 0:1],
+                    b_mu=out.db_head[0:1],
+                    w_v=out.dw_head[:, 1:2],
+                    b_v=out.db_head[1:2],
+                    log_std=(out.dlog_std - cfg.ent_coef).reshape(1),
+                )
+                aux = (
+                    out.pg_sum / mb_size,
+                    out.v_sum / mb_size,
+                    params.log_std[0] + ent_const,
+                )
+            else:
+                rows = jax.lax.dynamic_slice_in_dim(
+                    shuffled, i * mb_size, mb_size
+                )
+                mb = (
+                    rows[:, :obs_dim],
+                    rows[:, obs_dim],
+                    rows[:, obs_dim + 1],
+                    rows[:, obs_dim + 2],
+                    rows[:, obs_dim + 3],
+                )
+                grads, aux = jax.grad(
+                    lambda p: _ppo_loss(cfg, p, mb, mesh), has_aux=True
+                )(params)
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), aux

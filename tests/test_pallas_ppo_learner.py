@@ -1,0 +1,149 @@
+"""Fused PPO grad-step kernel vs jax.grad of the XLA loss.
+
+The kernel (ops/pallas_ppo_learner.py) hand-derives the backward of
+rl/ppo._ppo_loss; these tests pin gradient and loss-aux parity against
+autodiff at f32 compute (interpret mode on the CPU mesh), for both trunk
+activations and across grid-tile accumulation.
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from simglucose_tpu.ops.pallas_ppo_learner import (
+    pack_minibatch_rows,
+    ppo_grad_step,
+)
+from simglucose_tpu.rl.policy import init_policy
+from simglucose_tpu.rl.ppo import PPOConfig, _ppo_loss
+
+
+def _data(key, mb, scale=1.0):
+    ks = jax.random.split(key, 5)
+    obs = jax.random.normal(ks[0], (mb, 7), jnp.float32)
+    raw = jax.random.normal(ks[1], (mb,), jnp.float32) * scale
+    # logp_old near the current logp so ratios straddle the clip boundary
+    logp = jax.random.normal(ks[2], (mb,), jnp.float32) * 0.3 - 1.2
+    adv = jax.random.normal(ks[3], (mb,), jnp.float32)
+    ret = jax.random.normal(ks[4], (mb,), jnp.float32)
+    return obs, raw, logp, adv, ret
+
+
+@pytest.mark.parametrize("act", ["relu", "tanh"])
+@pytest.mark.parametrize("tiles", [1, 4])
+def test_grad_parity_vs_autodiff(act, tiles):
+    cfg = PPOConfig(clip_eps=0.2, vf_coef=0.5, ent_coef=1e-3)
+    mb, H = 512, 16
+    params = init_policy(jax.random.PRNGKey(0), hidden=H, act=act)
+    obs, raw, logp, adv, ret = _data(jax.random.PRNGKey(1), mb)
+
+    batch = (obs, raw, logp, adv, ret)
+    (loss, aux), g = jax.value_and_grad(
+        lambda p: _ppo_loss(cfg, p, batch, None), has_aux=True
+    )(params)
+
+    out = ppo_grad_step(
+        pack_minibatch_rows(obs, raw, logp, adv, ret),
+        params.w1, params.b1, params.w2, params.b2,
+        jnp.concatenate([params.w_mu, params.w_v], axis=1),
+        jnp.concatenate([params.b_mu, params.b_v]),
+        params.log_std[0],
+        jnp.mean(adv), jnp.std(adv),
+        act=act, clip_eps=cfg.clip_eps, vf_coef=cfg.vf_coef,
+        row_tile=mb // tiles, compute_dtype=jnp.float32, interpret=True,
+    )
+
+    tol = dict(rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(out.dw1, g.w1, **tol)
+    np.testing.assert_allclose(out.db1, g.b1, **tol)
+    np.testing.assert_allclose(out.dw2, g.w2, **tol)
+    np.testing.assert_allclose(out.db2, g.b2, **tol)
+    np.testing.assert_allclose(out.dw_head[:, 0:1], g.w_mu, **tol)
+    np.testing.assert_allclose(out.dw_head[:, 1:2], g.w_v, **tol)
+    np.testing.assert_allclose(out.db_head[0:1], g.b_mu, **tol)
+    np.testing.assert_allclose(out.db_head[1:2], g.b_v, **tol)
+    # kernel excludes the entropy term (-ent_coef, added by the caller)
+    np.testing.assert_allclose(
+        np.asarray(out.dlog_std) - cfg.ent_coef, g.log_std[0], **tol
+    )
+    pg_loss, v_loss, entropy = aux
+    np.testing.assert_allclose(out.pg_sum / mb, pg_loss, **tol)
+    np.testing.assert_allclose(out.v_sum / mb, v_loss, **tol)
+
+
+def test_clip_boundary_gradients():
+    """Rows far outside the clip band must contribute ZERO policy gradient
+    when the clipped branch is active (adv>0, ratio>>1+eps) and the full
+    gradient when the unclipped branch wins (adv<0)."""
+    cfg = PPOConfig(clip_eps=0.2)
+    mb, H = 256, 16
+    params = init_policy(jax.random.PRNGKey(3), hidden=H, act="relu")
+    obs, raw, logp, adv, ret = _data(jax.random.PRNGKey(4), mb)
+    # push every ratio far above 1+eps
+    logp = logp - 5.0
+    batch = (obs, raw, logp, adv, ret)
+    _, g = jax.value_and_grad(
+        lambda p: _ppo_loss(cfg, p, batch, None), has_aux=True
+    )(params)
+    out = ppo_grad_step(
+        pack_minibatch_rows(obs, raw, logp, adv, ret),
+        params.w1, params.b1, params.w2, params.b2,
+        jnp.concatenate([params.w_mu, params.w_v], axis=1),
+        jnp.concatenate([params.b_mu, params.b_v]),
+        params.log_std[0],
+        jnp.mean(adv), jnp.std(adv),
+        act="relu", clip_eps=cfg.clip_eps, vf_coef=cfg.vf_coef,
+        row_tile=mb, compute_dtype=jnp.float32, interpret=True,
+    )
+    np.testing.assert_allclose(out.dw_head[:, 0:1], g.w_mu, rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(out.dw1, g.w1, rtol=2e-4, atol=1e-6)
+
+
+def test_update_pallas_matches_xla_learner():
+    """Full _update (2 epochs x 2 minibatches of adam steps) with the
+    pallas grad kernel must track the XLA autodiff learner: same shuffle
+    key -> same minibatches -> near-identical updated params."""
+    from simglucose_tpu.rl.ppo import Transition, _update, make_optimizer
+
+    T, B, H = 8, 64, 16
+    N = T * B
+    cfg = PPOConfig(epochs=2, minibatches=2)
+    cfg_p = dataclasses.replace(cfg, pallas_learner=True)
+    params = init_policy(jax.random.PRNGKey(0), hidden=H, act="relu")
+    obs, raw, logp, adv, ret = _data(jax.random.PRNGKey(1), N)
+    key = jax.random.PRNGKey(2)
+
+    # value/done shapes [T, B]
+    tr = Transition(
+        obs=obs.reshape(T, B, 7),
+        raw_action=raw.reshape(T, B),
+        logp=logp.reshape(T, B),
+        value=ret.reshape(T, B) * 0.1,
+        reward=adv.reshape(T, B),
+        done=jnp.zeros((T, B), bool),
+    )
+    advs = adv.reshape(T, B)
+    rets = ret.reshape(T, B)
+
+    opt = make_optimizer(cfg)
+    opt_state = opt.init(params)
+    p_x, _, _, aux_x = _update(
+        cfg, opt, params, opt_state, tr, advs, rets, key, mesh=None
+    )
+    p_p, _, _, aux_p = _update(
+        cfg_p, opt, params, opt_state, tr, advs, rets, key, mesh=None,
+        interpret=True,
+    )
+    for a, b in zip(jax.tree.leaves(p_x), jax.tree.leaves(p_p)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=2e-5
+        )
+    # loss aux parity (pg_loss, v_loss) across the scanned steps
+    np.testing.assert_allclose(
+        np.asarray(aux_x[0]), np.asarray(aux_p[0]), rtol=1e-3, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(aux_x[1]), np.asarray(aux_p[1]), rtol=1e-3, atol=1e-5
+    )
