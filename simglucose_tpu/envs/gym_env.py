@@ -340,18 +340,48 @@ class T1DSimGymEnv(gymnasium.Env if gymnasium else object):
             self._viewer = None
 
 
+def _vec_autoreset_step(cfg, horizon_steps, params, state, action, reward_fun):
+    """Single-env step with auto-reset on termination OR horizon truncation
+    (vmapped by the vector env).  Same candidate keying as
+    :func:`~simglucose_tpu.envs.rollout.autoreset_step`; returns
+    ``(state', res, carry_res, truncated)``."""
+    from simglucose_tpu.envs.rollout import make_reset_candidates
+
+    state, res = env_step(cfg, params, state, action, reward_fun=reward_fun)
+    trunc = state.episode_step >= horizon_steps
+    need_reset = res.done | trunc
+    fresh, fresh_res = make_reset_candidates(cfg, params, state)
+
+    def pick(a, b):
+        return jnp.where(
+            jnp.reshape(
+                need_reset, need_reset.shape + (1,) * (a.ndim - need_reset.ndim)
+            ),
+            a,
+            b,
+        )
+
+    reset_state = jax.tree.map(pick, fresh, state)
+    carry_res = jax.tree.map(pick, fresh_res, res)
+    return reset_state, res, carry_res, trunc
+
+
 class T1DSimVectorEnv(gymnasium.vector.VectorEnv if gymnasium else object):
     """On-device vectorized env: B auto-resetting patients in ONE compiled
     XLA program per step — the TPU-native replacement for running B gym envs
     in OS processes (reference: sim_engine.py:65-76 via pathos).
 
-    Episodes auto-reset on termination with fresh random start hour and
-    initial BG (matching the single-env reset semantics).  Gymnasium
-    same-step autoreset convention: when env i terminates, ``step`` returns
-    the NEW episode's reset observation for env i (the reference wrapper
-    hands the agent the fresh episode's obs after done,
+    Episodes auto-reset on termination OR horizon truncation
+    (``horizon_days``, parity with the single env) with fresh random start
+    hour and initial BG.  Gymnasium SAME-STEP autoreset convention
+    (declared via ``metadata['autoreset_mode']``): when env i ends, ``step``
+    returns the NEW episode's reset observation for env i (the reference
+    wrapper hands the agent the fresh episode's obs after done,
     simglucose_gym_env.py:48-51) and carries the terminal step in
     ``info["final_observation"][i]`` / ``info["final_info"][i]``.
+
+    Per-``step()`` host dispatch costs ~ms over a remote-TPU runtime; use
+    :meth:`step_n` to run N policy-driven steps in ONE compiled dispatch.
     """
 
     metadata = {"render_modes": []}
@@ -366,6 +396,7 @@ class T1DSimVectorEnv(gymnasium.vector.VectorEnv if gymnasium else object):
         pump: str = "Insulet",
         dtype=np.float32,
         substeps: int = 1,
+        horizon_days: float = 10.0,
     ):
         from simglucose_tpu.envs.build import cohort_names
 
@@ -400,14 +431,28 @@ class T1DSimVectorEnv(gymnasium.vector.VectorEnv if gymnasium else object):
         self.observation_space = spaces.Box(
             low=0.0, high=np.inf, shape=(num_envs, 1), dtype=np.float32
         )
+        if gymnasium is not None and hasattr(gymnasium.vector, "AutoresetMode"):
+            # Gymnasium 1.x autoreset contract declaration
+            self.metadata = dict(
+                self.metadata,
+                autoreset_mode=gymnasium.vector.AutoresetMode.SAME_STEP,
+            )
 
         cfg = self.cfg
+        self.horizon_steps = int(
+            horizon_days * 24 * 60 // cfg.sample_time
+        )
         reward = _wrap_reward(reward_fun, cfg.window_size)
+        self._reward = reward
+        hs = self.horizon_steps
         self._jit_step = jax.jit(
             lambda params, state, action: jax.vmap(
-                lambda p, s, a: autoreset_step(cfg, p, s, a, reward_fun=reward)
+                lambda p, s, a: _vec_autoreset_step(
+                    cfg, hs, p, s, a, reward_fun=reward
+                )
             )(params, state, action)
         )
+        self._stepn_cache = {}
         self._seed = seed
         self._state = None
 
@@ -416,7 +461,10 @@ class T1DSimVectorEnv(gymnasium.vector.VectorEnv if gymnasium else object):
             self._seed = seed
         keys = jax.random.split(jax.random.PRNGKey(self._seed), self.num_envs)
         self._state, res = batch_reset(self.cfg, self._params, keys)
-        obs = np.asarray(res.CGM, np.float32)[:, None]
+        # the reset observation is the SECOND reset-time sensor sample
+        # (env.py:142), matching what step()'s carry exposes after autoreset
+        self._last_obs = res.observation.CGM
+        obs = np.asarray(res.observation.CGM, np.float32)[:, None]
         return obs, {"bg": np.asarray(res.BG)}
 
     def step(self, actions):
@@ -424,36 +472,113 @@ class T1DSimVectorEnv(gymnasium.vector.VectorEnv if gymnasium else object):
             np.asarray(actions).reshape(self.num_envs), self._dtype
         )
         act = CtrlAction(basal=basal, bolus=jnp.zeros_like(basal))
-        self._state, res, carry = self._jit_step(self._params, self._state, act)
-        # carry = reset result for just-terminated envs, terminal otherwise
+        self._state, res, carry, trunc = self._jit_step(
+            self._params, self._state, act
+        )
+        # carry = reset result for just-ended envs, terminal otherwise
+        self._last_obs = carry.observation.CGM
         obs = np.asarray(carry.observation.CGM, np.float32)[:, None]
         done = np.asarray(res.done)
+        trunc = np.asarray(trunc)
         info = {
             "bg": np.asarray(carry.BG),
             "meal": np.asarray(carry.CHO),
             "insulin": np.asarray(carry.insulin),
             "risk": np.asarray(carry.risk),
         }
-        if done.any():
+        ended = done | trunc
+        if ended.any():
             final_obs = np.full(self.num_envs, None, dtype=object)
             final_info = np.full(self.num_envs, None, dtype=object)
             term_obs = np.asarray(res.observation.CGM, np.float32)
             term_bg = np.asarray(res.BG)
             term_risk = np.asarray(res.risk)
-            for i in np.nonzero(done)[0]:
+            for i in np.nonzero(ended)[0]:
                 final_obs[i] = np.asarray([term_obs[i]], np.float32)
                 final_info[i] = {"bg": term_bg[i], "risk": term_risk[i]}
             info["final_observation"] = final_obs
-            info["_final_observation"] = done.copy()
+            info["_final_observation"] = ended.copy()
             info["final_info"] = final_info
-            info["_final_info"] = done.copy()
+            info["_final_info"] = ended.copy()
         return (
             obs,
             np.asarray(res.reward),
             done,
-            np.zeros_like(done),
+            trunc,
             info,
         )
+
+    def step_n(self, n: int, policy: Callable):
+        """Run ``n`` policy-driven steps in ONE compiled dispatch.
+
+        ``policy(obs)`` maps the [B, 1] CGM observation (a jnp array, traced)
+        to [B, 1] (or [B]) basal actions — it runs INSIDE the jitted scan, so
+        an external RL loop pays one host dispatch per ``n`` steps instead of
+        per step (per-step dispatch over a remote-TPU runtime is ~ms; the
+        compiled step itself is ~µs).  Auto-reset/truncation semantics are
+        identical to :meth:`step`.
+
+        Returns ``(obs [n,B,1], rewards [n,B], terminated [n,B],
+        truncated [n,B], infos)`` where ``infos`` carries per-step array
+        planes (``bg``/``risk`` of the carried obs) plus
+        ``final_observation``/``final_info`` planes [n, B] that are valid
+        where ``terminated|truncated`` (the same data the per-step dict
+        exposes, in array form).  Compiled once per (n, policy) pair.
+        """
+        key = (id(policy), int(n))
+        fn = self._stepn_cache.get(key)
+        if fn is None:
+            cfg, hs, reward = self.cfg, self.horizon_steps, self._reward
+            dtype = self._dtype
+
+            def run(params, state, prev_cgm):
+                def body(carry, _):
+                    state, prev_cgm = carry
+                    a = jnp.asarray(policy(prev_cgm[:, None]), dtype)
+                    basal = a.reshape(-1)
+                    act = CtrlAction(basal=basal, bolus=jnp.zeros_like(basal))
+                    state, res, carry_res, trunc = jax.vmap(
+                        lambda p, s, a_: _vec_autoreset_step(
+                            cfg, hs, p, s, a_, reward_fun=reward
+                        )
+                    )(params, state, act)
+                    out = (
+                        carry_res.observation.CGM,
+                        res.reward,
+                        res.done,
+                        trunc,
+                        carry_res.BG,
+                        carry_res.risk,
+                        res.observation.CGM,  # final_observation where ended
+                        res.BG,
+                        res.risk,
+                    )
+                    return (state, carry_res.observation.CGM), out
+
+                (state, last_obs), outs = jax.lax.scan(
+                    body, (state, prev_cgm), None, length=n
+                )
+                return jax.lax.optimization_barrier((state, last_obs, outs))
+
+            fn = jax.jit(run, donate_argnums=(1,))
+            self._stepn_cache[key] = fn
+
+        self._state, self._last_obs, outs = fn(
+            self._params, self._state, self._last_obs
+        )
+        cgm, reward, done, trunc, bg, risk, f_cgm, f_bg, f_risk = [
+            np.asarray(o) for o in outs
+        ]
+        ended = done | trunc
+        infos = {
+            "bg": bg,
+            "risk": risk,
+            "final_observation": np.where(ended, f_cgm, np.nan),
+            "_final_observation": ended,
+            "final_info": {"bg": f_bg, "risk": f_risk},
+            "_final_info": ended,
+        }
+        return cgm[:, :, None], reward, done, trunc, infos
 
     def close(self):
         pass

@@ -252,3 +252,64 @@ def test_action_observation_spaces():
     assert env.action_space.shape == (1,)
     assert float(env.action_space.high[0]) == 30.0  # Insulet max basal
     assert env.observation_space.shape == (1,)
+
+
+def test_vector_env_truncation_horizon():
+    """truncated fires at the horizon (parity with the single env's
+    horizon_days) and the env auto-resets those lanes same-step."""
+    env = T1DSimVectorEnv(
+        num_envs=4, seed=1, horizon_days=9.0 / 1440
+    )  # 9 minutes = 3 Dexcom steps
+    assert env.horizon_steps == 3
+    env.reset()
+    a = np.full((4, 1), 0.01, np.float32)
+    flags = []
+    for _ in range(4):
+        obs, rew, term, trunc, info = env.step(a)
+        flags.append(trunc.copy())
+        if trunc.any():
+            assert "final_observation" in info
+    # episode_step hits the horizon at step 3, then the fresh episodes run
+    assert not flags[0].any() and not flags[1].any()
+    assert flags[2].all()
+    assert not flags[3].any()
+    # Gymnasium 1.x autoreset declaration
+    import gymnasium
+
+    if hasattr(gymnasium.vector, "AutoresetMode"):
+        assert (
+            env.metadata["autoreset_mode"]
+            == gymnasium.vector.AutoresetMode.SAME_STEP
+        )
+
+
+def test_vector_env_step_n_single_dispatch():
+    """step_n runs N policy-driven steps per compiled dispatch with correct
+    same-step autoreset bookkeeping (round-3 VERDICT item 4)."""
+    import jax.numpy as jnp
+
+    B, n = 256, 50
+    env = T1DSimVectorEnv(num_envs=B, seed=3)
+    obs0, _ = env.reset()
+
+    # max-basal policy floods the patients -> guaranteed terminations
+    policy = lambda obs: jnp.full((obs.shape[0], 1), 30.0, jnp.float32)
+    obs, rew, term, trunc, infos = env.step_n(n, policy)
+    assert obs.shape == (n, B, 1) and rew.shape == (n, B)
+    assert term.shape == (n, B) and trunc.shape == (n, B)
+    assert len(env._stepn_cache) == 1  # one compiled program
+    assert term.any(), "no terminations at max basal?"
+    assert np.isfinite(rew).all()
+    t, b = np.argwhere(term)[0]
+    # terminal CGM (final_observation) is recorded and out-of-band low/high,
+    # while the returned obs for that step belongs to the fresh episode
+    fin = infos["final_observation"][t, b]
+    assert np.isfinite(fin)
+    assert infos["final_info"]["bg"][t, b] < 70.0 or (
+        infos["final_info"]["bg"][t, b] > 350.0
+    )
+    assert obs[t, b, 0] != fin
+    # second call reuses the compiled program (100 steps in 2 dispatches)
+    obs2, *_ = env.step_n(n, policy)
+    assert len(env._stepn_cache) == 1
+    assert obs2.shape == (n, B, 1)
