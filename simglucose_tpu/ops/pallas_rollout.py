@@ -1143,9 +1143,14 @@ def make_pallas_rollout(cfg: PallasRolloutConfig, batch: int, interpret: bool = 
         )
     if cfg.prng not in ("hw", "sw"):
         raise ValueError(f"prng must be 'hw' or 'sw'; got {cfg.prng!r}")
-    if cfg.controller == "nn" and cfg.exogenous_noise:
-        raise ValueError("the 'nn' controller does not support exogenous "
-                         "noise planes (use deterministic mode for parity)")
+    if cfg.controller == "nn" and cfg.exogenous_noise and not cfg.deterministic:
+        raise ValueError(
+            "'nn' + exogenous_noise requires deterministic=True (policy-mean "
+            "actions): the planes pin the CGM noise stream, but stochastic "
+            "action sampling has no exogenous source to pin against — the "
+            "noise-for-noise parity config is deterministic actions + "
+            "exogenous CGM noise (tests/test_fused_ppo.py)"
+        )
     if cfg.nn_hidden % 8:
         raise ValueError("nn_hidden must be a multiple of 8 (sublane tile)")
     if cfg.scenario_kind not in ("random", "static"):

@@ -106,3 +106,69 @@ def test_manager_orbax_backend(tmp_path):
     np.testing.assert_array_equal(np.asarray(out["a"]), np.arange(3.0) + 3)
     out2 = mgr.restore(like=tree, step=2)
     np.testing.assert_array_equal(np.asarray(out2["a"]), np.arange(3.0) + 2)
+
+
+def test_orbax_sharded_fused_trainstate_roundtrip(tmp_path):
+    """Orbax round-trip of a mesh-sharded FusedTrainState: save sharded ->
+    restore -> re-shard -> the next fused train step is BIT-equal to the
+    uncheckpointed one (round-3 VERDICT item 7)."""
+    import jax.numpy as jnp
+
+    from simglucose_tpu.envs.build import cohort_names, make_env
+    from simglucose_tpu.models.uva_padova import basal_rate
+    from simglucose_tpu.ops.pallas_rollout import pack_params
+    from simglucose_tpu.parallel.sharding import make_mesh
+    from simglucose_tpu.rl.fused import init_fused_state, make_fused_train_step
+    from simglucose_tpu.rl.policy import init_policy
+    from simglucose_tpu.rl.ppo import PPOConfig, make_optimizer
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh(dp=8, tp=1)
+    B = 8 * 128
+    _, params = make_env(cohort_names(B), batch=True, dtype=np.float32)
+    packed = jax.device_put(
+        pack_params(params.patient, basal_rate(params.patient)),
+        NamedSharding(mesh, P(None, "dp")),
+    )
+    cfg = PPOConfig(rollout_steps=2, epochs=1, minibatches=2)
+    policy = init_policy(
+        jax.random.PRNGKey(1), hidden=8, act="relu", init_mu_bias=-2.2,
+        init_log_std=cfg.init_log_std,
+    )
+    ts = init_fused_state(
+        policy, make_optimizer(cfg).init(policy), B, jax.random.PRNGKey(0),
+        mesh=mesh,
+    )
+    step = make_fused_train_step(
+        cfg, B, hidden=8, interpret=True, mesh=mesh,
+        pallas_overrides=dict(block_rows=1, t_chunk=1),
+    )
+    with mesh:
+        ts1, _ = step(packed, ts)  # advance once so the state is nontrivial
+
+    mgr = CheckpointManager(str(tmp_path), backend="orbax")
+    mgr.save(1, ts1)
+    host_like = jax.tree.map(np.asarray, ts1)
+    restored = mgr.restore(like=host_like)
+    # re-shard exactly like init_fused_state lays the planes out
+    shard = NamedSharding(mesh, P(None, "dp", None))
+    rep = NamedSharding(mesh, P())
+    restored = restored._replace(
+        state_f=jax.device_put(jnp.asarray(restored.state_f), shard),
+        state_i=jax.device_put(jnp.asarray(restored.state_i), shard),
+        params=jax.device_put(
+            jax.tree.map(jnp.asarray, restored.params), rep
+        ),
+        opt_state=jax.device_put(
+            jax.tree.map(jnp.asarray, restored.opt_state), rep
+        ),
+        init=jnp.asarray(restored.init),
+        key=jnp.asarray(restored.key),
+    )
+    with mesh:
+        ts2a, ma = step(packed, ts1)
+        ts2b, mb = step(packed, restored)
+    for a, b in zip(jax.tree.leaves(ts2a), jax.tree.leaves(ts2b)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for k in ma:
+        np.testing.assert_array_equal(np.asarray(ma[k]), np.asarray(mb[k]))

@@ -84,3 +84,48 @@ def test_replicate(mesh):
     x = {"w": np.arange(6.0)}
     r = replicate(x, mesh)
     assert r["w"].sharding.is_fully_replicated
+
+
+def test_tp2_learner_gradient_parity():
+    """One full PPO train step on a dp=4 x tp=2 mesh must produce the same
+    updated params as dp=8 x tp=1 at hidden=64 (VERDICT r3 item 3): the tp
+    sharding (activation constraints + GSPMD all-reduces) is a layout
+    choice, not a numerics choice — threefry rollout/shuffle randomness is
+    mesh-independent."""
+    from simglucose_tpu.rl.policy import init_policy
+    from simglucose_tpu.rl.ppo import (
+        PPOConfig,
+        TrainState,
+        make_optimizer,
+        make_train_step,
+    )
+
+    B = 16
+    cfg, params = make_env(
+        cohort_names(B), batch=True, random_init_bg=True, dtype=np.float32
+    )
+    key = jax.random.PRNGKey(0)
+    state, res = batch_reset(cfg, params, jax.random.split(key, B))
+    ppo_cfg = PPOConfig(rollout_steps=4, epochs=1, minibatches=2)
+    policy = init_policy(jax.random.fold_in(key, 1), hidden=64)
+    opt_state = make_optimizer(ppo_cfg).init(policy)
+
+    updated = {}
+    for tag, (dp, tp) in {"tp2": (4, 2), "tp1": (8, 1)}.items():
+        m = make_mesh(dp=dp, tp=tp)
+        ts = TrainState(
+            params=replicate(policy, m),
+            opt_state=replicate(opt_state, m),
+            env_state=shard_batch(state, m),
+            prev_res=shard_batch(res, m),
+            key=replicate(key, m),
+        )
+        step = jax.jit(make_train_step(ppo_cfg, cfg, mesh=m))
+        with m:
+            ts2, metrics = step(shard_batch(params, m), ts)
+        assert np.isfinite(float(metrics["reward_mean"]))
+        updated[tag] = jax.tree.leaves(ts2.params)
+    for a, b in zip(updated["tp2"], updated["tp1"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6
+        )
