@@ -97,6 +97,16 @@ class PallasRolloutConfig:
     # deploy-side analog is policy_controller(..., basal=...) in
     # rl/evaluate.py.
     nn_scale_by_basal: bool = False
+    # nn_sample_actions=False: the policy emits its MEAN action (raw = mu,
+    # no Gaussian exploration) while the ENV stays stochastic (CGM noise,
+    # random meals, resets) — the deployment/evaluation mode of a trained
+    # policy (rl/evaluate.policy_controller's law) at kernel speed.
+    nn_sample_actions: bool = True
+    # nn_batched_mlp=True: issue the policy trunk as ONE [H,7]x[7,R,128]
+    # dot_general over all R sublane rows instead of R separate
+    # [H,7]x[7,128] matmuls per step (VERDICT r3 item 5's MXU batching).
+    # Same values; flag-gated so the per-row form remains measurable.
+    nn_batched_mlp: bool = False
     # persistent_state=True: the full simulator state streams in/out of the
     # kernel as HBM arrays instead of living in per-call scratch, so
     # consecutive calls CONTINUE episodes (the PPO trainer's env-state carry
@@ -793,30 +803,53 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
                 f4 = jnp.tanh(prev_cho * 0.1)
                 f5 = jnp.tanh((ctrl_prev - ctrl_pprev) * 0.1)
                 f6 = jnp.tanh(iob * inv120b)
-                # relu MLP, one [H,7]@[7,128] + [H,H]@[H,128] MXU pair per
-                # sublane row (lanes = patients, sublanes = hidden units)
-                mu_rows = []
-                for r in range(R):
-                    obs_r = jnp.stack(
-                        [f1[r], f2[r], f3[r], f4[r], f5[r], f6[r], f7[r]],
-                        axis=0,
-                    )  # [7, 128]
+                if cfg.nn_batched_mlp:
+                    # one batched trunk over all R rows: contract the
+                    # feature axis, lanes = patients, rows ride a batch dim
+                    obs_all = jnp.stack(
+                        [f1, f2, f3, f4, f5, f6, f7], axis=0
+                    )  # [7, R, 128]
+                    dn = (((1,), (0,)), ((), ()))
                     h = jnp.maximum(
-                        jnp.dot(
-                            w1t, obs_r, preferred_element_type=jnp.float32
-                        ) + b1,
+                        jax.lax.dot_general(
+                            w1t, obs_all, dimension_numbers=dn,
+                            preferred_element_type=jnp.float32,
+                        ) + b1[:, :, None],
+                        0.0,
+                    )  # [H, R, 128]
+                    h = jnp.maximum(
+                        jax.lax.dot_general(
+                            w2t, h, dimension_numbers=dn,
+                            preferred_element_type=jnp.float32,
+                        ) + b2[:, :, None],
                         0.0,
                     )
-                    h = jnp.maximum(
-                        jnp.dot(
-                            w2t, h, preferred_element_type=jnp.float32
-                        ) + b2,
-                        0.0,
-                    )
-                    mu_rows.append(jnp.sum(h * wmu, axis=0, keepdims=True))
-                mu = jnp.concatenate(mu_rows, axis=0) + bmu_s  # [R, 128]
-                if cfg.deterministic:
-                    raw = mu
+                    mu = jnp.sum(h * wmu[:, :, None], axis=0) + bmu_s  # [R,128]
+                else:
+                    # [H,7]@[7,128] + [H,H]@[H,128] MXU pair per sublane
+                    # row (lanes = patients, sublanes = hidden units)
+                    mu_rows = []
+                    for r in range(R):
+                        obs_r = jnp.stack(
+                            [f1[r], f2[r], f3[r], f4[r], f5[r], f6[r], f7[r]],
+                            axis=0,
+                        )  # [7, 128]
+                        h = jnp.maximum(
+                            jnp.dot(
+                                w1t, obs_r, preferred_element_type=jnp.float32
+                            ) + b1,
+                            0.0,
+                        )
+                        h = jnp.maximum(
+                            jnp.dot(
+                                w2t, h, preferred_element_type=jnp.float32
+                            ) + b2,
+                            0.0,
+                        )
+                        mu_rows.append(jnp.sum(h * wmu, axis=0, keepdims=True))
+                    mu = jnp.concatenate(mu_rows, axis=0) + bmu_s  # [R, 128]
+                if cfg.deterministic or not cfg.nn_sample_actions:
+                    raw = mu  # policy-mean actions (deployment/eval mode)
                 else:
                     if i_step % 2 == 0:
                         za_pair = _normal_pair(rng, shape)

@@ -415,3 +415,29 @@ def test_nn_controller_exogenous_noise_matches_env_exactly():
     np.testing.assert_array_equal(
         np.asarray(traj_p["CHO"]), np.asarray(traj_e.CHO)
     )
+
+
+def test_nn_batched_mlp_matches_per_row():
+    """nn_batched_mlp (one [H,7]x[7,R,128] dot_general over all sublane
+    rows) must produce the identical trajectory to the per-row MXU loop."""
+    import dataclasses
+
+    Bb = 256  # R=2 rows so batching is nontrivial
+    names = cohort_names(Bb)
+    _, params = make_env(names, batch=True, dtype=np.float32)
+    packed = pack_params(params.patient, basal_rate(params.patient))
+    policy = _policy()
+    w = pack_policy_weights(policy)
+    base = PallasRolloutConfig(
+        n_steps=1, block_rows=2, t_chunk=1, deterministic=True,
+        controller="nn", nn_hidden=H,
+        det_meal_times=(3,), det_meal_amounts=(30.0,),
+    )
+    t1 = make_pallas_rollout(base, Bb, interpret=True)(packed, 0, weights=w)
+    t2 = make_pallas_rollout(
+        dataclasses.replace(base, nn_batched_mlp=True), Bb, interpret=True
+    )(packed, 0, weights=w)
+    for k in ("raw", "insulin", "BG", "CGM"):
+        np.testing.assert_allclose(
+            np.asarray(t1[k]), np.asarray(t2[k]), rtol=1e-6, atol=1e-7
+        )

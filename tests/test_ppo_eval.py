@@ -99,3 +99,34 @@ def test_policy_controller_is_deterministic(trained_policy):
         hours=1.0, seed=3,
     )
     np.testing.assert_array_equal(a["BG"], b["BG"])
+
+
+def test_evaluate_policy_kernel_interpret():
+    """Kernel-engine policy evaluation (rl/evaluate.evaluate_policy_kernel):
+    policy-mean actions with the stochastic env — runs any cohort size on
+    the 'nn' kernel.  Mean-action mode must be action-deterministic (same
+    seed -> same trace) while sampling mode differs at the same seed."""
+    import jax
+    import numpy as np
+
+    from simglucose_tpu.rl.evaluate import evaluate_policy_kernel
+    from simglucose_tpu.rl.policy import init_policy
+
+    policy = init_policy(
+        jax.random.PRNGKey(0), hidden=8, act="relu", init_mu_bias=-2.2
+    )
+    names = ["adolescent#001", "adult#003", "child#007"]
+    hours = 4 * 3 / 60.0  # 4 Dexcom steps
+    out1 = evaluate_policy_kernel(
+        policy, names, hours=hours, seed=5, interpret=True, shard=False, t_chunk=1
+    )
+    out2 = evaluate_policy_kernel(
+        policy, names, hours=hours, seed=5, interpret=True, shard=False, t_chunk=1
+    )
+    assert out1["BG"].shape == (3, 4)
+    assert np.isfinite(out1["BG"]).all()
+    assert (out1["BG"] > 10).all() and (out1["BG"] < 600).all()
+    assert set(out1) >= {"percent_in_70_180", "LBGI", "HBGI", "risk_index"}
+    # mean-action mode: same seed -> identical traces (actions carry no RNG)
+    np.testing.assert_array_equal(out1["BG"], out2["BG"])
+    np.testing.assert_array_equal(out1["insulin_mean"], out2["insulin_mean"])
