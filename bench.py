@@ -168,7 +168,14 @@ def bench_fused_ppo():
     _, params = make_env(cohort_names(PPO_B), batch=True, dtype=np.float32)
     packed = pack_params(params.patient, basal_rate(params.patient))
     key = jax.random.PRNGKey(0)
-    cfg = PPOConfig(rollout_steps=PPO_T, epochs=2, minibatches=4)
+    # pallas_learner: each minibatch grad step is ONE fused kernel
+    # (ops/pallas_ppo_learner.py) gathering its shuffle blocks directly;
+    # 2048-row blocks measured fastest (tools/profile_fused_ppo.py r4:
+    # 3.1 -> 2.0 ms/iteration vs the XLA learner)
+    cfg = PPOConfig(
+        rollout_steps=PPO_T, epochs=2, minibatches=4,
+        pallas_learner=True, shuffle_block=2048,
+    )
     hidden = 64
     policy = init_policy(
         jax.random.fold_in(key, 1), hidden=hidden, act="relu",
