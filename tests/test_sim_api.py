@@ -119,24 +119,28 @@ def test_batch_sim_matches_individual_sim():
 
 
 def test_interactive_ui_wizard(monkeypatch):
-    """Scripted stdin drives the full wizard
-    (reference: tests/test_ui.py:15-27)."""
+    """Scripted stdin drives the full wizard in the REFERENCE's prompt
+    order — animate, parallel, save path, sim time, scenario, patients
+    (By-ID sub-loop with a duplicate rejection and 'D' to finish), CGM,
+    seed, pump, controller (reference: user_interface.py:303-385,
+    tests/test_ui.py:15-27)."""
     from simglucose_tpu.sim.user_interface import simulate as ui_simulate
 
     answers = iter(
         [
+            "n",  # animate
+            "y",  # parallel
+            "",  # save path: skip
             "2",  # sim hours
             "1",  # Random Scenario
-            "1",  # Basal-Bolus controller
-            "5",  # select individual patients
+            "5",  # patients: By ID
             "1",  # adolescent#001
+            "1",  # duplicate -> rejected with a message
+            "d",  # done
             "1",  # Dexcom
             "7",  # cgm seed
             "2",  # Insulet
-            "6",  # start hour
-            "",  # save path: skip
-            "n",  # animate
-            "y",  # parallel
+            "1",  # Basal-Bolus controller
         ]
     )
     with mock.patch("builtins.input", side_effect=lambda *a: next(answers)):
