@@ -156,6 +156,79 @@ def _pallas_eligible(
 _PALLAS_RUN_CACHE: dict = {}
 
 
+def _pallas_cfg(
+    patient_names, cgm_name, insulin_pump_name, controller, n_steps,
+    start_min, random_init_bg, start_time, scenario,
+):
+    """The kernel configuration simulate() would run this request with —
+    shared by :func:`_simulate_pallas` and the auto-engine's compiled-probe
+    (``(cfg, padded, n_dev, interpret)`` keys ``_PALLAS_RUN_CACHE``).
+    Returns (cfg, padded_batch, padded_names, n_dev)."""
+    from simglucose_tpu.ops.pallas_rollout import LANES, config_for_sensor
+
+    n_dev = jax.device_count()
+    B = len(patient_names)
+    # pad the cohort to the kernel's lane width x device count (results
+    # sliced back)
+    unit = LANES * n_dev
+    padded = B if B % unit == 0 else B + (unit - B % unit)
+    names_p = [patient_names[i % B] for i in range(padded)]
+    rows_per_dev = padded // LANES // n_dev
+    block_rows = max(r for r in (32, 16, 8, 4, 2, 1) if rows_per_dev % r == 0)
+    t_chunk = max(c for c in (32, 16, 8, 6, 5, 4, 3, 2, 1) if n_steps % c == 0)
+
+    pump = tables.pump_record(insulin_pump_name)
+    ctrl_name, ctrl_kwargs = _controller_spec(controller)
+    ctrl_kind = (
+        "pid"
+        if (isinstance(ctrl_name, str) and ctrl_name.upper() == "PID")
+        else "bb"
+    )
+    ctrl_fields = {}
+    if ctrl_kind == "pid":
+        gains = dict(P=-1e-4, I=-1e-7, D=0.0, target=140.0)
+        gains.update(ctrl_kwargs)
+        ctrl_fields = dict(
+            pid_p=float(gains["P"]), pid_i=float(gains["I"]),
+            pid_d=float(gains["D"]), pid_target=float(gains["target"]),
+        )
+    elif "target" in ctrl_kwargs:
+        ctrl_fields = dict(bb_target=float(ctrl_kwargs["target"]))
+    scenario_fields = {}
+    if scenario is not None and not isinstance(scenario, str):
+        # CustomScenario -> the kernel's static meal schedule (absolute
+        # episode minutes; noise/init randomness unaffected) — the fast-path
+        # analog of the reference CustomScenario (scenario.py:21-45)
+        t_arr, a_arr = parse_meal_times(scenario, start_time)
+        scenario_fields = dict(
+            scenario_kind="static",
+            det_meal_times=tuple(int(t) for t in t_arr),
+            det_meal_amounts=tuple(float(a) for a in a_arr),
+        )
+    cfg = config_for_sensor(
+        cgm_name,
+        n_steps=n_steps,
+        block_rows=block_rows,
+        t_chunk=t_chunk,
+        controller=ctrl_kind,
+        # hw PRNG on real TPUs; the sw generator lets the engine run under
+        # CPU interpret mode (tests) with the same stochastic laws
+        prng="hw" if jax.default_backend() == "tpu" else "sw",
+        **ctrl_fields,
+        **scenario_fields,
+        inc_basal=float(pump["inc_basal"]),
+        min_basal=float(pump["min_basal"]),
+        max_basal=float(pump["max_basal"]),
+        inc_bolus=float(pump["inc_bolus"]),
+        min_bolus=float(pump["min_bolus"]),
+        max_bolus=float(pump["max_bolus"]),
+        random_init_bg=random_init_bg,
+        autoreset=False,
+        fixed_start_min=start_min,
+    )
+    return cfg, padded, names_p, n_dev
+
+
 def _cached_pallas_run(cfg, padded: int, n_dev: int, interpret: bool):
     """jit-wrapped (and process-cached) kernel callable: without this every
     simulate() call re-built the pallas_call and dispatched it EAGERLY —
@@ -209,74 +282,15 @@ def _simulate_pallas(
     ops/pallas_rollout.py make_sharded_pallas_rollout)."""
     from simglucose_tpu.analysis.risk import risk_scalar
     from simglucose_tpu.models.uva_padova import basal_rate
-    from simglucose_tpu.ops.pallas_rollout import (
-        LANES,
-        config_for_sensor,
-        pack_params,
-    )
+    from simglucose_tpu.ops.pallas_rollout import pack_params
 
-    n_dev = jax.device_count()
     B = len(patient_names)
-    # pad the cohort to the kernel's lane width x device count (results
-    # sliced back)
-    unit = LANES * n_dev
-    padded = B if B % unit == 0 else B + (unit - B % unit)
-    names_p = [patient_names[i % B] for i in range(padded)]
-    rows_per_dev = padded // LANES // n_dev
-    block_rows = max(r for r in (32, 16, 8, 4, 2, 1) if rows_per_dev % r == 0)
-    t_chunk = max(c for c in (32, 16, 8, 6, 5, 4, 3, 2, 1) if n_steps % c == 0)
-
+    cfg, padded, names_p, n_dev = _pallas_cfg(
+        patient_names, cgm_name, insulin_pump_name, controller, n_steps,
+        start_min, random_init_bg, start_time, scenario,
+    )
     patient = tables.load_patient_params(names_p, dtype=np.float32)
     quest = tables.load_quest_params(names_p, dtype=np.float32)
-    pump = tables.pump_record(insulin_pump_name)
-    ctrl_name, ctrl_kwargs = _controller_spec(controller)
-    ctrl_kind = (
-        "pid"
-        if (isinstance(ctrl_name, str) and ctrl_name.upper() == "PID")
-        else "bb"
-    )
-    ctrl_fields = {}
-    if ctrl_kind == "pid":
-        gains = dict(P=-1e-4, I=-1e-7, D=0.0, target=140.0)
-        gains.update(ctrl_kwargs)
-        ctrl_fields = dict(
-            pid_p=float(gains["P"]), pid_i=float(gains["I"]),
-            pid_d=float(gains["D"]), pid_target=float(gains["target"]),
-        )
-    elif "target" in ctrl_kwargs:
-        ctrl_fields = dict(bb_target=float(ctrl_kwargs["target"]))
-    scenario_fields = {}
-    if scenario is not None and not isinstance(scenario, str):
-        # CustomScenario -> the kernel's static meal schedule (absolute
-        # episode minutes; noise/init randomness unaffected) — the fast-path
-        # analog of the reference CustomScenario (scenario.py:21-45)
-        t_arr, a_arr = parse_meal_times(scenario, start_time)
-        scenario_fields = dict(
-            scenario_kind="static",
-            det_meal_times=tuple(int(t) for t in t_arr),
-            det_meal_amounts=tuple(float(a) for a in a_arr),
-        )
-    cfg = config_for_sensor(
-        cgm_name,
-        n_steps=n_steps,
-        block_rows=block_rows,
-        t_chunk=t_chunk,
-        controller=ctrl_kind,
-        # hw PRNG on real TPUs; the sw generator lets the engine run under
-        # CPU interpret mode (tests) with the same stochastic laws
-        prng="hw" if jax.default_backend() == "tpu" else "sw",
-        **ctrl_fields,
-        **scenario_fields,
-        inc_basal=float(pump["inc_basal"]),
-        min_basal=float(pump["min_basal"]),
-        max_basal=float(pump["max_basal"]),
-        inc_bolus=float(pump["inc_bolus"]),
-        min_bolus=float(pump["min_bolus"]),
-        max_bolus=float(pump["max_bolus"]),
-        random_init_bg=random_init_bg,
-        autoreset=False,
-        fixed_start_min=start_min,
-    )
     if sample_time_check is not None:
         assert cfg.sample_time == sample_time_check
     packed = pack_params(patient, basal_rate(patient), quest=quest)
@@ -370,7 +384,13 @@ def simulate(
     BB/PID, random or custom meal scenarios, any window-based reward_fun,
     TPU only, law-level seed reproducibility via the TPU hardware PRNG —
     raises ValueError if the config needs the general path); 'auto' —
-    pallas whenever eligible (any cohort size), else xla.
+    pallas whenever eligible AND worth it: once a config's kernel is
+    compiled in this process the kernel always wins (B=30 day: 1.0 s vs
+    2.8 s warm, measured v5e), but a fresh kernel compile costs minutes
+    over a remote runtime while the XLA engine cold-starts in seconds, so
+    cold auto runs use the kernel only above ~2e8 total env-steps.
+    Pass engine='pallas' to force the kernel (e.g. at the start of a
+    sweep whose later calls reuse it).
 
     Both engines attach the per-step reward plane as
     ``df.attrs['reward']`` ([T, B]) — the reference frame schema has no
@@ -420,10 +440,29 @@ def simulate(
             f"engine='pallas' cannot run this config ({blocker}); "
             "use engine='xla' or 'auto'"
         )
-    # auto: the kernel is the default whenever eligible, at ANY cohort size
-    # — measured on-chip, the kernel beats the XLA path even at B=30 (the
-    # flagship default) once compiled, and the compile cache makes the
-    # one-off cost moot across runs.
+    # auto: measured wall-clock crossover (BASELINE.md round-4, v5e over
+    # the remote tunnel).  Once compiled the kernel beats the XLA engine at
+    # ANY cohort size (B=30 day: 1.0 s vs 2.8 s warm), so auto uses it
+    # whenever this process has already compiled the config.  A FRESH
+    # kernel compile is heavy (~2-4 min) while the XLA engine cold-starts
+    # in ~5 s at 23M steps/s, so cold auto runs take the kernel only when
+    # the XLA device time alone would dominate that compile
+    # (B * n_steps >= 2e8, sweep/long-horizon territory); engine='pallas'
+    # forces the kernel regardless.
+    if engine == "auto" and blocker is None:
+        n_steps_est = int(sim_time.total_seconds() // 60) // tables.sensor_sample_time(cgm_name)
+        start_min_est = (start_time.hour * 60 + start_time.minute) % 1440
+        cfg_p, padded_p, _, n_dev_p = _pallas_cfg(
+            patient_names, cgm_name, insulin_pump_name, controller,
+            n_steps_est, start_min_est, random_init_bg, start_time, scenario,
+        )
+        compiled = (cfg_p, padded_p, n_dev_p, False) in _PALLAS_RUN_CACHE
+        if not compiled and B * n_steps_est < 2e8:
+            blocker = (
+                f"auto heuristic: cold kernel compile not amortized at "
+                f"B*steps={B * n_steps_est:.2g} (< 2e8) — pass "
+                "engine='pallas' to force the kernel"
+            )
     if engine in ("pallas", "auto") and blocker is None:
         n_steps_p = int(sim_time.total_seconds() // 60) // tables.sensor_sample_time(cgm_name)
         seed = (0 if scenario_seed is None else int(scenario_seed)) * 1000003 + (

@@ -359,3 +359,23 @@ def test_simulate_pallas_custom_reward_interpret():
         # window law: step1 sees [cgm0, cgm1] -> cgm0 - cgm1, etc.
         np.testing.assert_allclose(r[0, i], cgm[0] - cgm[1], rtol=1e-6)
         np.testing.assert_allclose(r[1, i], cgm[1] - cgm[2], rtol=1e-6)
+
+
+def test_engine_auto_cold_heuristic(monkeypatch):
+    """auto's measured-crossover policy: with the config otherwise eligible
+    but no kernel compiled in-process and small total work, auto falls back
+    to the XLA engine (a fresh kernel compile costs minutes vs seconds of
+    XLA cold start — BASELINE.md round-4)."""
+    from simglucose_tpu.sim import engine as eng
+
+    monkeypatch.setattr(eng, "_pallas_eligible", lambda *a, **k: None)
+    assert not eng._PALLAS_RUN_CACHE  # nothing compiled in this process
+    df = eng.simulate(
+        sim_time=timedelta(hours=1),
+        patient_names=["adolescent#001"],
+        controller="PID",
+        engine="auto",
+    )
+    # ran (on the XLA path — the pallas path would crash on CPU without
+    # interpret mode, so completing IS the assertion) with the reward attrs
+    assert df.attrs["reward"].shape == (20, 1)
