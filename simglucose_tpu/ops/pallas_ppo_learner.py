@@ -81,39 +81,18 @@ def pack_minibatch_rows(obs, raw, logp, adv, ret):
     )
 
 
-def _kernel(
-    scal_ref,  # SMEM [1, 4]: log_std, adv_mean, adv_rstd, inv_n
-    data_ref,  # VMEM [FM_ROWS, Rt]
-    w1t_ref,  # [H, 8]   (W1^T, zero-padded obs column 7)
-    b1_ref,  # [H, 1]
-    w2t_ref,  # [H, H]   (W2^T)
-    b2_ref,  # [H, 1]
-    wht_ref,  # [2, H]   (W_head^T)
-    bh_ref,  # [2, 1]
-    dw1_ref,  # out [8, H]
-    db1_ref,  # out [H, 1]
-    dw2_ref,  # out [H, H]
-    db2_ref,  # out [H, 1]
-    dwh_ref,  # out [H, 2]
-    dbh_ref,  # out [2, 1]
-    sums_ref,  # out [1, 8]: dlog_std, pg_sum, v_sum
-    *,
-    act: str,
-    clip_eps: float,
-    vf_coef: float,
-    compute_dtype,
+def _tile_grads(
+    data, w1t, b1, w2t, b2, wht, bh,
+    log_std, adv_mean, adv_rstd, inv_n,
+    *, act, clip_eps, vf_coef, cd,
 ):
-    t = pl.program_id(0)
+    """Forward + PPO loss + hand-derived backward for ONE [FM_ROWS, Rt]
+    tile, on weight VALUES (shared by the grad-step and whole-epoch
+    kernels).  Returns (dw1_t [8,H], db1_t [H,1], dw2_t [H,H], db2_t [H,1],
+    dwh_t [H,2], dbh_t [2,1], ds_t, pg_t, v_t)."""
     f32 = jnp.float32
-    cd = compute_dtype
-
-    log_std = scal_ref[0, 0]
-    adv_mean = scal_ref[0, 1]
-    adv_rstd = scal_ref[0, 2]
-    inv_n = scal_ref[0, 3]
-
-    x = data_ref[0:8, :]  # [8, Rt] (row 7 is zeros)
-    tail = data_ref[8:12, :]  # [4, Rt]
+    x = data[0:8, :]  # [8, Rt] (row 7 is zeros)
+    tail = data[8:12, :]  # [4, Rt]
     raw = tail[0:1, :]
     logp_old = tail[1:2, :]
     adv = tail[2:3, :]
@@ -146,13 +125,13 @@ def _kernel(
     elif act == "tanh":
         f = jnp.tanh
         fprime = lambda h: 1.0 - h * h
-    else:  # pragma: no cover - guarded by the wrapper
+    else:  # pragma: no cover - guarded by the wrappers
         raise ValueError(act)
 
     # ---- forward: h = f(W^T x + b), feature-major ----
-    h1 = f(mm(w1t_ref[:, :], x) + b1_ref[:, :])  # [H, Rt]
-    h2 = f(mm(w2t_ref[:, :], h1) + b2_ref[:, :])  # [H, Rt]
-    hv = mm(wht_ref[:, :], h2) + bh_ref[:, :]  # [2, Rt]
+    h1 = f(mm(w1t, x) + b1)  # [H, Rt]
+    h2 = f(mm(w2t, h1) + b2)  # [H, Rt]
+    hv = mm(wht, h2) + bh  # [2, Rt]
     mu = hv[0:1, :]
     v = hv[1:2, :]
 
@@ -182,11 +161,11 @@ def _kernel(
     dhv = jnp.concatenate([dmu, dv], axis=0)  # [2, Rt]
     dwh_t = mm_rows(h2, dhv)  # [H, 2]
     dbh_t = jnp.sum(dhv, axis=1, keepdims=True)  # [2, 1]
-    dh2 = mmT(wht_ref[:, :], dhv)  # [H, Rt]
+    dh2 = mmT(wht, dhv)  # [H, Rt]
     dg2 = dh2 * fprime(h2)
     dw2_t = mm_rows(h1, dg2)  # [H, H]
     db2_t = jnp.sum(dg2, axis=1, keepdims=True)  # [H, 1]
-    dh1 = mmT(w2t_ref[:, :], dg2)  # [H, Rt]
+    dh1 = mmT(w2t, dg2)  # [H, Rt]
     dg1 = dh1 * fprime(h1)
     dw1_t = mm_rows(x, dg1)  # [8, H]
     db1_t = jnp.sum(dg1, axis=1, keepdims=True)  # [H, 1]
@@ -194,6 +173,40 @@ def _kernel(
     ds_t = jnp.sum(dlogp * (z * z - 1.0))
     pg_t = jnp.sum(-jnp.minimum(pg1, pg2))
     v_t = jnp.sum(0.5 * jnp.square(v - ret))
+    return dw1_t, db1_t, dw2_t, db2_t, dwh_t, dbh_t, ds_t, pg_t, v_t
+
+
+def _kernel(
+    scal_ref,  # SMEM [1, 4]: log_std, adv_mean, adv_rstd, inv_n
+    data_ref,  # VMEM [FM_ROWS, Rt]
+    w1t_ref,  # [H, 8]   (W1^T, zero-padded obs column 7)
+    b1_ref,  # [H, 1]
+    w2t_ref,  # [H, H]   (W2^T)
+    b2_ref,  # [H, 1]
+    wht_ref,  # [2, H]   (W_head^T)
+    bh_ref,  # [2, 1]
+    dw1_ref,  # out [8, H]
+    db1_ref,  # out [H, 1]
+    dw2_ref,  # out [H, H]
+    db2_ref,  # out [H, 1]
+    dwh_ref,  # out [H, 2]
+    dbh_ref,  # out [2, 1]
+    sums_ref,  # out [1, 8]: dlog_std, pg_sum, v_sum
+    *,
+    act: str,
+    clip_eps: float,
+    vf_coef: float,
+    compute_dtype,
+):
+    t = pl.program_id(0)
+
+    (dw1_t, db1_t, dw2_t, db2_t, dwh_t, dbh_t, ds_t, pg_t, v_t) = _tile_grads(
+        data_ref[:, :],
+        w1t_ref[:, :], b1_ref[:, :], w2t_ref[:, :], b2_ref[:, :],
+        wht_ref[:, :], bh_ref[:, :],
+        scal_ref[0, 0], scal_ref[0, 1], scal_ref[0, 2], scal_ref[0, 3],
+        act=act, clip_eps=clip_eps, vf_coef=vf_coef, cd=compute_dtype,
+    )
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
     sums_t = (
         jnp.where(lane == 0, ds_t, 0.0)
@@ -451,3 +464,281 @@ def ppo_grad_step_gather(
         pg_sum=sums[0, 1],
         v_sum=sums[0, 2],
     )
+
+
+# ---------------------------------------------------------------------------
+# Whole-epoch learner: ALL grad steps + clip + adam in ONE kernel
+# ---------------------------------------------------------------------------
+
+
+def _epoch_kernel(
+    perm_ref,  # scalar-prefetch [S] i32: shuffle-block id per grid step
+    stats_ref,  # SMEM [n_mb, 4]: adv_mean, adv_rstd, adam bias corrections
+    #            c1 = 1-beta1^(t0+k+1), c2 = 1-beta2^(t0+k+1) per minibatch
+    #            (precomputed in XLA — Mosaic has no scalar powf)
+    hyper_ref,  # SMEM [1, 8]: inv_n, lr, beta1, beta2, eps, max_norm,
+    #                          ent_coef, unused
+    ls_ref,  # SMEM [1, 3]: log_std, m_ls, v_ls (incoming)
+    data_ref,  # VMEM [FM_ROWS, bs] gathered tile
+    *refs,
+    bpm: int,
+    act: str,
+    clip_eps: float,
+    vf_coef: float,
+    compute_dtype,
+):
+    """Runs epochs x minibatches of PPO updates without leaving the kernel:
+    grid step t = (minibatch e_i = t // bpm, tile j = t % bpm).  Weights,
+    adam moments, and grad accumulators live in VMEM scratch for the whole
+    grid; the optimizer (clip_by_global_norm + adam + scale(-lr), exactly
+    optax's math) applies at each minibatch boundary."""
+    # refs: 12 inputs (W, M, V x 6), then outputs (W, M, V x 6 + ls_out +
+    # aux_out), then scratch (W, M, V, G x 6 + sc_ref SMEM)
+    win = refs[0:6]
+    min_ = refs[6:12]
+    vin = refs[12:18]
+    wout = refs[18:24]
+    mout = refs[24:30]
+    vout = refs[30:36]
+    ls_out = refs[36]  # [1, 4]
+    aux_out = refs[37]  # [n_mb, 8]
+    ws = refs[38:44]  # scratch weights
+    ms = refs[44:50]
+    vs = refs[50:56]
+    gs = refs[56:62]
+    sc = refs[62]  # SMEM scratch [8]: log_std, m_ls, v_ls, g_ls, pg, v
+
+    t = pl.program_id(0)
+    S = pl.num_programs(0)
+    f32 = jnp.float32
+    e_i = t // bpm
+    j = t % bpm
+
+    inv_n = hyper_ref[0, 0]
+    lr = hyper_ref[0, 1]
+    beta1 = hyper_ref[0, 2]
+    beta2 = hyper_ref[0, 3]
+    eps = hyper_ref[0, 4]
+    max_norm = hyper_ref[0, 5]
+    ent_coef = hyper_ref[0, 6]
+
+    @pl.when(t == 0)
+    def _load():
+        for k in range(6):
+            ws[k][:, :] = win[k][:, :]
+            ms[k][:, :] = min_[k][:, :]
+            vs[k][:, :] = vin[k][:, :]
+        sc[0] = ls_ref[0, 0]
+        sc[1] = ls_ref[0, 1]
+        sc[2] = ls_ref[0, 2]
+
+    log_std = sc[0]
+    grads = _tile_grads(
+        data_ref[:, :],
+        ws[0][:, :], ws[1][:, :], ws[2][:, :], ws[3][:, :],
+        ws[4][:, :], ws[5][:, :],
+        log_std, stats_ref[e_i, 0], stats_ref[e_i, 1], inv_n,
+        act=act, clip_eps=clip_eps, vf_coef=vf_coef, cd=compute_dtype,
+    )
+    tile_g = grads[:6]
+    ds_t, pg_t, v_t = grads[6], grads[7], grads[8]
+    # grad layouts must match the weight scratch layouts:
+    # ws = (w1t [H,8], b1 [H,1], w2t [H,H], b2 [H,1], wht [2,H], bh [2,1])
+    # tile grads come in original orientation -> transpose w-grads
+    gw = (
+        tile_g[0].T,  # dw1t [H, 8]
+        tile_g[1],  # db1 [H, 1]
+        tile_g[2].T,  # dw2t [H, H]
+        tile_g[3],  # db2 [H, 1]
+        tile_g[4].T,  # dwht [2, H]
+        tile_g[5],  # dbh [2, 1]
+    )
+
+    @pl.when(j == 0)
+    def _g_init():
+        for k in range(6):
+            gs[k][:, :] = gw[k]
+        sc[3] = ds_t
+        sc[4] = pg_t
+        sc[5] = v_t
+
+    @pl.when(j > 0)
+    def _g_acc():
+        for k in range(6):
+            gs[k][:, :] += gw[k]
+        sc[3] = sc[3] + ds_t
+        sc[4] = sc[4] + pg_t
+        sc[5] = sc[5] + v_t
+
+    @pl.when(j == bpm - 1)
+    def _apply():
+        # entropy term: -ent_coef on log_std (rl/ppo._ppo_loss)
+        g_ls = sc[3] - ent_coef
+        # optax.clip_by_global_norm over ALL grads incl. log_std
+        sq = g_ls * g_ls
+        for k in range(6):
+            sq = sq + jnp.sum(gs[k][:, :] * gs[k][:, :])
+        gn = jnp.sqrt(sq)
+        scale = jnp.where(gn > max_norm, max_norm / gn, 1.0)
+        # adam with bias correction (optax.scale_by_adam + scale(-lr));
+        # the 1-beta^t corrections arrive precomputed per minibatch
+        c1 = stats_ref[e_i, 2]
+        c2 = stats_ref[e_i, 3]
+        for k in range(6):
+            g = gs[k][:, :] * scale
+            m_new = beta1 * ms[k][:, :] + (1.0 - beta1) * g
+            v_new = beta2 * vs[k][:, :] + (1.0 - beta2) * g * g
+            ms[k][:, :] = m_new
+            vs[k][:, :] = v_new
+            ws[k][:, :] -= lr * (m_new / c1) / (jnp.sqrt(v_new / c2) + eps)
+        g = g_ls * scale
+        m_new = beta1 * sc[1] + (1.0 - beta1) * g
+        v_new = beta2 * sc[2] + (1.0 - beta2) * g * g
+        sc[1] = m_new
+        sc[2] = v_new
+        sc[0] = sc[0] - lr * (m_new / c1) / (jnp.sqrt(v_new / c2) + eps)
+        # aux row: pg_loss, v_loss, entropy at the loss-time log_std
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+        row = (
+            jnp.where(lane == 0, sc[4] * inv_n, 0.0)
+            + jnp.where(lane == 1, sc[5] * inv_n, 0.0)
+            + jnp.where(
+                lane == 2, log_std + 0.5 * (_LOG_2PI + 1.0), 0.0
+            )
+            + jnp.where(lane == 3, gn, 0.0)
+        )
+        aux_out[pl.ds(e_i, 1), :] = row
+
+    @pl.when(t == S - 1)
+    def _store():
+        for k in range(6):
+            wout[k][:, :] = ws[k][:, :]
+            mout[k][:, :] = ms[k][:, :]
+            vout[k][:, :] = vs[k][:, :]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 4), 1)
+        ls_out[:, :] = (
+            jnp.where(lane == 0, sc[0], 0.0)
+            + jnp.where(lane == 1, sc[1], 0.0)
+            + jnp.where(lane == 2, sc[2], 0.0)
+        )
+
+
+def ppo_epoch_update(
+    packed_fm: jnp.ndarray,  # [FM_ROWS, N] feature-major FULL buffer (f32)
+    perm_all: jnp.ndarray,  # [E*MB*bpm] i32 gathered-block schedule
+    block_rows: int,
+    bpm: int,  # shuffle blocks per minibatch
+    stats: jnp.ndarray,  # [E*MB, 2] f32: (adv_mean, adv_rstd) per minibatch
+    weights: tuple,  # (w1t [H,8], b1 [H,1], w2t, b2, wht [2,H], bh [2,1])
+    mu: tuple,  # adam first moments, same shapes/layouts as weights
+    nu: tuple,  # adam second moments
+    ls: jnp.ndarray,  # [3] f32: log_std, m_ls, v_ls
+    *,
+    mb_rows: int,
+    lr: float,
+    beta1: float = 0.9,
+    beta2: float = 0.999,
+    eps: float = 1e-8,
+    max_grad_norm: float = 0.5,
+    ent_coef: float = 1e-3,
+    adam_count,  # traced or static int: optimizer steps taken so far
+    act: str = "relu",
+    clip_eps: float = 0.2,
+    vf_coef: float = 0.5,
+    compute_dtype=jnp.float32,
+    interpret: bool = False,
+):
+    """The WHOLE PPO learner — every epoch, minibatch grad step, global-norm
+    clip, and adam update — as one pallas kernel launch.  Weight/moment
+    state rides VMEM scratch across the grid; the caller supplies the full
+    gathered-block schedule (``perm_all``) and per-minibatch advantage
+    stats.  Returns (weights', mu', nu', ls', aux [E*MB, 8])."""
+    S = perm_all.shape[0]
+    n_mb = S // bpm
+    H = weights[0].shape[0]
+    f32 = jnp.float32
+    bs = int(block_rows)
+
+    hyper = jnp.stack(
+        [
+            jnp.asarray(1.0 / mb_rows, f32),
+            jnp.asarray(lr, f32),
+            jnp.asarray(beta1, f32),
+            jnp.asarray(beta2, f32),
+            jnp.asarray(eps, f32),
+            jnp.asarray(max_grad_norm, f32),
+            jnp.asarray(ent_coef, f32),
+            jnp.asarray(0.0, f32),
+        ]
+    ).reshape(1, 8)
+    # adam bias corrections per minibatch, precomputed (no powf in Mosaic)
+    k = jnp.arange(n_mb, dtype=f32)
+    t_adam = jnp.asarray(adam_count, f32) + k + 1.0
+    c1 = 1.0 - jnp.power(jnp.asarray(beta1, f32), t_adam)
+    c2 = 1.0 - jnp.power(jnp.asarray(beta2, f32), t_adam)
+    stats = jnp.concatenate(
+        [stats.astype(f32), c1[:, None], c2[:, None]], axis=1
+    )
+
+    shapes = [(H, 8), (H, 1), (H, H), (H, 1), (2, H), (2, 1)]
+    kernel = functools.partial(
+        _epoch_kernel,
+        bpm=int(bpm),
+        act=act,
+        clip_eps=float(clip_eps),
+        vf_coef=float(vf_coef),
+        compute_dtype=compute_dtype,
+    )
+    const = lambda t, perm: (0, 0)
+    wspec = [pl.BlockSpec(s, const) for s in shapes]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(S,),
+        in_specs=[
+            pl.BlockSpec((n_mb, 4), const, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8), const, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3), const, memory_space=pltpu.SMEM),
+            pl.BlockSpec((FM_ROWS, bs), lambda t, perm: (0, perm[t])),
+            *wspec,  # weights in
+            *wspec,  # mu in
+            *wspec,  # nu in
+        ],
+        out_specs=[
+            *wspec,  # weights out
+            *wspec,  # mu out
+            *wspec,  # nu out
+            pl.BlockSpec((1, 4), const),
+            pl.BlockSpec((n_mb, 8), const),
+        ],
+        scratch_shapes=(
+            [pltpu.VMEM(s, f32) for s in shapes] * 3  # W, M, V
+            + [pltpu.VMEM(s, f32) for s in shapes]  # G
+            + [pltpu.SMEM((8,), f32)]
+        ),
+    )
+    out_shape = (
+        [jax.ShapeDtypeStruct(s, f32) for s in shapes] * 3
+        + [jax.ShapeDtypeStruct((1, 4), f32)]
+        + [jax.ShapeDtypeStruct((n_mb, 8), f32)]
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(
+        perm_all.astype(jnp.int32),
+        stats.astype(f32),
+        hyper,
+        jnp.asarray(ls, f32).reshape(1, 3),
+        packed_fm,
+        *[w.astype(f32) for w in weights],
+        *[m.astype(f32) for m in mu],
+        *[v.astype(f32) for v in nu],
+    )
+    w_out = tuple(outs[0:6])
+    m_out = tuple(outs[6:12])
+    v_out = tuple(outs[12:18])
+    ls_out = outs[18][0, :3]
+    aux = outs[19]
+    return w_out, m_out, v_out, ls_out, aux

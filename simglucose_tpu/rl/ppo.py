@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -84,14 +84,18 @@ class PPOConfig:
     # logp_old and the minibatch logp are recomputed by the same bf16
     # forward in the fused trainer.  Off by default (CI trains f32).
     learner_bf16: bool = False
-    # run each minibatch grad step as ONE fused pallas kernel
-    # (ops/pallas_ppo_learner.py): forward + clipped-surrogate loss +
-    # hand-derived backward in a single pass over VMEM-resident row tiles,
-    # instead of XLA's ~10 separate HBM-streaming kernels per step
-    # (gradient parity pinned by tests/test_pallas_ppo_learner.py).
-    # Matmul inputs follow learner_bf16.  Single-device learner only
-    # (mesh=None); ignored — with the XLA fallback — under a mesh.
-    pallas_learner: bool = False
+    # pallas learner modes (ops/pallas_ppo_learner.py), single-device
+    # learner only (mesh=None; under a mesh the XLA learner runs):
+    #   True | 'step' — each minibatch grad step is ONE fused kernel
+    #     (forward + clipped-surrogate loss + hand-derived backward over
+    #     VMEM-resident row tiles, shuffle gathered via scalar-prefetched
+    #     block indices) instead of XLA's ~10 HBM-streaming kernels;
+    #   'epoch' — the WHOLE learner (every epoch, minibatch, global-norm
+    #     clip, and adam update) is one kernel launch: weights + moments
+    #     live in VMEM scratch across the grid, optax's exact math applied
+    #     at minibatch boundaries.
+    # Gradient/update parity pinned by tests/test_pallas_ppo_learner.py.
+    pallas_learner: Union[bool, str] = False
     # subtracted from the step reward when the episode terminates (BG<70 or
     # BG>350).  With auto-reset, termination respawns the patient at a
     # healthy BG, so under dense negative rewards a policy can "farm" the
@@ -298,6 +302,141 @@ def _ppo_loss(
     return loss, (pg_loss, v_loss, entropy)
 
 
+def _find_adam_state(opt_state) -> optax.ScaleByAdamState:
+    """Locate the ScaleByAdamState inside make_optimizer's (flattened)
+    state tree — under optax.flatten the mu/nu leaves are single [P]
+    vectors in jax.flatten_util.ravel_pytree order."""
+    found = []
+
+    def rec(s):
+        if isinstance(s, optax.ScaleByAdamState):
+            found.append(s)
+        elif isinstance(s, (tuple, list)):
+            for x in s:
+                rec(x)
+
+    rec(opt_state)
+    if len(found) != 1:  # pragma: no cover - make_optimizer always has one
+        raise ValueError(f"expected one ScaleByAdamState, found {len(found)}")
+    return found[0]
+
+
+def _replace_adam_state(opt_state, new):
+    if isinstance(opt_state, optax.ScaleByAdamState):
+        return new
+    if isinstance(opt_state, tuple) and hasattr(opt_state, "_fields"):
+        return type(opt_state)(
+            *(_replace_adam_state(x, new) for x in opt_state)
+        )
+    if isinstance(opt_state, tuple):
+        return tuple(_replace_adam_state(x, new) for x in opt_state)
+    return opt_state
+
+
+def _epoch_kernel_update(
+    cfg: PPOConfig, params, opt_state, packed, adv_bsum, adv_bsq,
+    n_blocks, bs, mb_size, key, interpret,
+):
+    """cfg.pallas_learner == 'epoch': the whole learner in one kernel
+    (ops/pallas_ppo_learner.ppo_epoch_update), with full
+    make_optimizer-state interop.  Same key chain as the XLA epoch scan."""
+    import dataclasses as _dc
+
+    from jax.flatten_util import ravel_pytree
+
+    from simglucose_tpu.ops.pallas_ppo_learner import (
+        OBS_DIM as OBS_DIM_,
+        ppo_epoch_update,
+    )
+
+    bpm = n_blocks // cfg.minibatches
+    perms, stats = [], []
+    for _ in range(cfg.epochs):
+        key, k_perm = jax.random.split(key)
+        p = jax.random.permutation(k_perm, n_blocks)
+        perms.append(p)
+        s1 = adv_bsum[p].reshape(cfg.minibatches, bpm).sum(axis=1)
+        s2 = adv_bsq[p].reshape(cfg.minibatches, bpm).sum(axis=1)
+        mean = s1 / mb_size
+        std = jnp.sqrt(jnp.maximum(s2 / mb_size - mean * mean, 0.0))
+        stats.append(jnp.stack([mean, 1.0 / (std + 1e-8)], axis=1))
+    perm_all = jnp.concatenate(perms)
+    stats = jnp.concatenate(stats, axis=0)  # [E*MB, 2]
+
+    adam = _find_adam_state(opt_state)
+    _, unravel = ravel_pytree(params)
+    mu_t = unravel(adam.mu)
+    nu_t = unravel(adam.nu)
+
+    H = params.w1.shape[1]
+    f32 = jnp.float32
+
+    def lay(p):  # PolicyParams -> the kernel's 6 weight-layout arrays
+        return (
+            jnp.pad(p.w1.astype(f32), ((0, 1), (0, 0))).T,  # [H, 8]
+            p.b1.astype(f32).reshape(H, 1),
+            p.w2.astype(f32).T,
+            p.b2.astype(f32).reshape(H, 1),
+            jnp.concatenate([p.w_mu, p.w_v], axis=1).astype(f32).T,  # [2,H]
+            jnp.concatenate([p.b_mu, p.b_v]).astype(f32).reshape(2, 1),
+        )
+
+    ls = jnp.stack(
+        [params.log_std[0], mu_t.log_std[0], nu_t.log_std[0]]
+    ).astype(f32)
+    w_out, m_out, v_out, ls_out, aux = ppo_epoch_update(
+        packed,
+        perm_all,
+        bs,
+        bpm,
+        stats,
+        lay(params),
+        lay(mu_t),
+        lay(nu_t),
+        ls,
+        mb_rows=mb_size,
+        lr=cfg.lr,
+        max_grad_norm=cfg.max_grad_norm,
+        ent_coef=cfg.ent_coef,
+        adam_count=adam.count,
+        act=params.act,
+        clip_eps=cfg.clip_eps,
+        vf_coef=cfg.vf_coef,
+        compute_dtype=jnp.bfloat16 if cfg.learner_bf16 else jnp.float32,
+        interpret=interpret,
+    )
+
+    def unlay(tmpl, arrs, log_std_val):
+        return _dc.replace(
+            tmpl,
+            w1=arrs[0].T[:OBS_DIM_],
+            b1=arrs[1][:, 0],
+            w2=arrs[2].T,
+            b2=arrs[3][:, 0],
+            w_mu=arrs[4].T[:, 0:1],
+            w_v=arrs[4].T[:, 1:2],
+            b_mu=arrs[5][0:1, 0],
+            b_v=arrs[5][1:2, 0],
+            log_std=log_std_val.reshape(1),
+        )
+
+    new_params = unlay(params, w_out, ls_out[0])
+    new_mu = unlay(params, m_out, ls_out[1])
+    new_nu = unlay(params, v_out, ls_out[2])
+    new_adam = optax.ScaleByAdamState(
+        count=adam.count + cfg.epochs * cfg.minibatches,
+        mu=ravel_pytree(new_mu)[0],
+        nu=ravel_pytree(new_nu)[0],
+    )
+    new_opt_state = _replace_adam_state(opt_state, new_adam)
+    aux3 = (
+        aux[:, 0].reshape(cfg.epochs, cfg.minibatches),
+        aux[:, 1].reshape(cfg.epochs, cfg.minibatches),
+        aux[:, 2].reshape(cfg.epochs, cfg.minibatches),
+    )
+    return new_params, new_opt_state, key, aux3
+
+
 def _update(
     cfg: PPOConfig,
     opt,
@@ -356,6 +495,11 @@ def _update(
         adv_bsum = adv_b.sum(axis=1)
         adv_bsq = (adv_b * adv_b).sum(axis=1)
         bpm = n_blocks // cfg.minibatches
+        if cfg.pallas_learner == "epoch":
+            return _epoch_kernel_update(
+                cfg, params, opt_state, packed, adv_bsum, adv_bsq,
+                n_blocks, bs, mb_size, key, interpret,
+            )
         import math as _math
 
         cdt = jnp.bfloat16 if cfg.learner_bf16 else jnp.float32

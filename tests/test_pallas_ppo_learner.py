@@ -147,3 +147,66 @@ def test_update_pallas_matches_xla_learner():
     np.testing.assert_allclose(
         np.asarray(aux_x[1]), np.asarray(aux_p[1]), rtol=1e-3, atol=1e-5
     )
+
+
+def test_update_epoch_kernel_matches_xla_learner():
+    """The WHOLE-learner kernel (pallas_learner='epoch': all epochs,
+    minibatches, clip, and in-kernel adam) must track the XLA autodiff
+    learner through a full 2-epoch x 2-minibatch update — same key chain,
+    same shuffle, near-identical params, opt state, and loss aux."""
+    import optax
+
+    from simglucose_tpu.rl.ppo import (
+        Transition,
+        _find_adam_state,
+        _update,
+        make_optimizer,
+    )
+
+    T, B, H = 8, 64, 16
+    N = T * B
+    cfg = PPOConfig(epochs=2, minibatches=2)
+    cfg_e = dataclasses.replace(cfg, pallas_learner="epoch")
+    params = init_policy(jax.random.PRNGKey(0), hidden=H, act="relu")
+    obs, raw, logp, adv, ret = _data(jax.random.PRNGKey(1), N)
+    key = jax.random.PRNGKey(2)
+
+    tr = Transition(
+        obs=obs.reshape(T, B, 7),
+        raw_action=raw.reshape(T, B),
+        logp=logp.reshape(T, B),
+        value=ret.reshape(T, B) * 0.1,
+        reward=adv.reshape(T, B),
+        done=jnp.zeros((T, B), bool),
+    )
+    advs = adv.reshape(T, B)
+    rets = ret.reshape(T, B)
+
+    opt = make_optimizer(cfg)
+    opt_state = opt.init(params)
+    p_x, os_x, key_x, aux_x = _update(
+        cfg, opt, params, opt_state, tr, advs, rets, key, mesh=None
+    )
+    p_e, os_e, key_e, aux_e = _update(
+        cfg_e, opt, params, opt_state, tr, advs, rets, key, mesh=None,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(key_x), np.asarray(key_e))
+    for a, b in zip(jax.tree.leaves(p_x), jax.tree.leaves(p_e)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=3e-5
+        )
+    ad_x = _find_adam_state(os_x)
+    ad_e = _find_adam_state(os_e)
+    assert int(ad_e.count) == int(ad_x.count) == cfg.epochs * cfg.minibatches
+    np.testing.assert_allclose(
+        np.asarray(ad_x.mu), np.asarray(ad_e.mu), rtol=5e-3, atol=3e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(ad_x.nu), np.asarray(ad_e.nu), rtol=5e-3, atol=1e-7
+    )
+    # loss aux parity (pg_loss, v_loss, entropy), [E, MB] each
+    for i in range(3):
+        np.testing.assert_allclose(
+            np.asarray(aux_x[i]), np.asarray(aux_e[i]), rtol=2e-3, atol=1e-4
+        )
