@@ -369,7 +369,8 @@ def test_engine_auto_cold_heuristic(monkeypatch):
     from simglucose_tpu.sim import engine as eng
 
     monkeypatch.setattr(eng, "_pallas_eligible", lambda *a, **k: None)
-    assert not eng._PALLAS_RUN_CACHE  # nothing compiled in this process
+    # isolate from other tests that compile kernels in this process
+    monkeypatch.setattr(eng, "_PALLAS_RUN_CACHE", {})
     df = eng.simulate(
         sim_time=timedelta(hours=1),
         patient_names=["adolescent#001"],

@@ -88,6 +88,10 @@ def main():
         # gamma*lam must keep the hypo consequence of an overdose inside the
         # GAE credit horizon, or training drifts toward over-dosing
         lam=lam,
+        # learner as one fused pallas kernel per grad step (r4: 2.0 ms vs
+        # 3.1 ms per iteration with the XLA learner)
+        pallas_learner=True,
+        shuffle_block=2048,
     )
     policy = init_policy(
         jax.random.fold_in(key, 1), hidden=HIDDEN, act="relu",
