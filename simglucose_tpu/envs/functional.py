@@ -57,6 +57,13 @@ from simglucose_tpu.scenario.meal import (
 RewardFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
 
 
+def reward_window_size(sample_time: int) -> int:
+    """One hour of CGM samples (reference env.py:100) — THE window law;
+    ``EnvConfig.window_size`` and the pallas engine's post-hoc reward
+    recompute (sim/engine.py) both read it from here."""
+    return max(60 // int(sample_time), 2)
+
+
 def wrap_reward_fn(reward_fun: Callable, window_size: int) -> RewardFn:
     """Adapt a reference-style 1-arg reward over the BG-last-hour history to
     the native ``(window, window_len)`` signature — with EXACT variable-length
@@ -159,7 +166,7 @@ class EnvConfig:
     @property
     def window_size(self) -> int:
         """Reward window: one hour of CGM samples (env.py:100)."""
-        return max(60 // self.sample_time, 2)
+        return reward_window_size(self.sample_time)
 
 
 class EnvParams(NamedTuple):

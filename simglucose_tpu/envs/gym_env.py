@@ -340,32 +340,6 @@ class T1DSimGymEnv(gymnasium.Env if gymnasium else object):
             self._viewer = None
 
 
-def _vec_autoreset_step(cfg, horizon_steps, params, state, action, reward_fun):
-    """Single-env step with auto-reset on termination OR horizon truncation
-    (vmapped by the vector env).  Same candidate keying as
-    :func:`~simglucose_tpu.envs.rollout.autoreset_step`; returns
-    ``(state', res, carry_res, truncated)``."""
-    from simglucose_tpu.envs.rollout import make_reset_candidates
-
-    state, res = env_step(cfg, params, state, action, reward_fun=reward_fun)
-    trunc = state.episode_step >= horizon_steps
-    need_reset = res.done | trunc
-    fresh, fresh_res = make_reset_candidates(cfg, params, state)
-
-    def pick(a, b):
-        return jnp.where(
-            jnp.reshape(
-                need_reset, need_reset.shape + (1,) * (a.ndim - need_reset.ndim)
-            ),
-            a,
-            b,
-        )
-
-    reset_state = jax.tree.map(pick, fresh, state)
-    carry_res = jax.tree.map(pick, fresh_res, res)
-    return reset_state, res, carry_res, trunc
-
-
 class T1DSimVectorEnv(gymnasium.vector.VectorEnv if gymnasium else object):
     """On-device vectorized env: B auto-resetting patients in ONE compiled
     XLA program per step — the TPU-native replacement for running B gym envs
@@ -447,8 +421,8 @@ class T1DSimVectorEnv(gymnasium.vector.VectorEnv if gymnasium else object):
         hs = self.horizon_steps
         self._jit_step = jax.jit(
             lambda params, state, action: jax.vmap(
-                lambda p, s, a: _vec_autoreset_step(
-                    cfg, hs, p, s, a, reward_fun=reward
+                lambda p, s, a: autoreset_step(
+                    cfg, p, s, a, reward_fun=reward, horizon_steps=hs
                 )
             )(params, state, action)
         )
@@ -523,11 +497,22 @@ class T1DSimVectorEnv(gymnasium.vector.VectorEnv if gymnasium else object):
         planes (``bg``/``risk`` of the carried obs) plus
         ``final_observation``/``final_info`` planes [n, B] that are valid
         where ``terminated|truncated`` (the same data the per-step dict
-        exposes, in array form).  Compiled once per (n, policy) pair.
+        exposes, in array form).
+
+        Compiled once per (n, policy-object) pair and cached (bounded, LRU
+        on insertion): pass the SAME callable each call — a fresh lambda
+        per call recompiles the whole n-step scan, and any values the
+        callable closes over are baked in as constants at first trace
+        (jit a parameterized policy and close over device arrays, or
+        re-create the env to pick up new weights).
         """
         key = (id(policy), int(n))
         fn = self._stepn_cache.get(key)
         if fn is None:
+            # bound the cache: each entry pins a compiled n-step program
+            # (and the policy closure); evict the oldest beyond 8
+            while len(self._stepn_cache) >= 8:
+                self._stepn_cache.pop(next(iter(self._stepn_cache)))
             cfg, hs, reward = self.cfg, self.horizon_steps, self._reward
             dtype = self._dtype
 
@@ -538,8 +523,8 @@ class T1DSimVectorEnv(gymnasium.vector.VectorEnv if gymnasium else object):
                     basal = a.reshape(-1)
                     act = CtrlAction(basal=basal, bolus=jnp.zeros_like(basal))
                     state, res, carry_res, trunc = jax.vmap(
-                        lambda p, s, a_: _vec_autoreset_step(
-                            cfg, hs, p, s, a_, reward_fun=reward
+                        lambda p, s, a_: autoreset_step(
+                            cfg, p, s, a_, reward_fun=reward, horizon_steps=hs
                         )
                     )(params, state, act)
                     out = (

@@ -311,13 +311,18 @@ def autoreset_step(
     state: EnvState,
     action,
     reward_fun=risk_diff_reward,
-) -> Tuple[EnvState, StepResult, StepResult]:
+    horizon_steps: Optional[int] = None,
+):
     """One env step with gym-style auto-reset for a SINGLE env (vmap for a
     batch).
 
     When the step terminates, the env is re-initialized from a fresh key
     with a random start hour — the functional analog of the reference gym
     wrapper's brand-new-env-per-reset (simglucose_gym_env.py:48-51,66-67).
+
+    ``horizon_steps`` additionally resets episodes that reach the horizon
+    (Gymnasium truncation — the vector env's ``horizon_days``); the return
+    then gains a fourth element, the per-env truncated flag.
 
     Returns ``(state, res, carry_res)``:
       * ``res``       — the terminal StepResult of the step that just ran
@@ -334,18 +339,27 @@ def autoreset_step(
     The returned ``state`` already belongs to the new episode where done.
     """
     state, res = env_step(cfg, params, state, action, reward_fun=reward_fun)
+    if horizon_steps is None:
+        need_reset = res.done
+    else:
+        trunc = state.episode_step >= horizon_steps
+        need_reset = res.done | trunc
     fresh, fresh_res = make_reset_candidates(cfg, params, state)
 
     def pick(a, b):
         return jnp.where(
-            jnp.reshape(res.done, res.done.shape + (1,) * (a.ndim - res.done.ndim)),
+            jnp.reshape(
+                need_reset, need_reset.shape + (1,) * (a.ndim - need_reset.ndim)
+            ),
             a,
             b,
         )
 
     reset_state = jax.tree.map(pick, fresh, state)
     carry_res = jax.tree.map(pick, fresh_res, res)
-    return reset_state, res, carry_res
+    if horizon_steps is None:
+        return reset_state, res, carry_res
+    return reset_state, res, carry_res, trunc
 
 
 def make_batch_rollout_fn(

@@ -1176,13 +1176,19 @@ def make_pallas_rollout(cfg: PallasRolloutConfig, batch: int, interpret: bool = 
         )
     if cfg.prng not in ("hw", "sw"):
         raise ValueError(f"prng must be 'hw' or 'sw'; got {cfg.prng!r}")
-    if cfg.controller == "nn" and cfg.exogenous_noise and not cfg.deterministic:
+    if (
+        cfg.controller == "nn"
+        and cfg.exogenous_noise
+        and not cfg.deterministic
+        and cfg.nn_sample_actions
+    ):
         raise ValueError(
-            "'nn' + exogenous_noise requires deterministic=True (policy-mean "
-            "actions): the planes pin the CGM noise stream, but stochastic "
-            "action sampling has no exogenous source to pin against — the "
-            "noise-for-noise parity config is deterministic actions + "
-            "exogenous CGM noise (tests/test_fused_ppo.py)"
+            "'nn' + exogenous_noise requires mean actions (deterministic="
+            "True or nn_sample_actions=False): the planes pin the CGM noise "
+            "stream, but stochastic action sampling has no exogenous source "
+            "to pin against — the noise-for-noise parity config is "
+            "policy-mean actions + exogenous CGM noise "
+            "(tests/test_fused_ppo.py)"
         )
     if cfg.nn_hidden % 8:
         raise ValueError("nn_hidden must be a multiple of 8 (sublane tile)")

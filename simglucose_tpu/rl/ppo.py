@@ -133,7 +133,13 @@ def make_optimizer(cfg: PPOConfig):
     # flatten: clip + adam run over ONE packed [P] vector instead of 9
     # small leaves — same math, ~1/9th the tiny-kernel launches per
     # minibatch (the learner is launch-bound, not FLOPs-bound: the whole
-    # policy is ~5K params)
+    # policy is ~5K params).
+    # NOTE: flatten changes the opt_state pytree (adam mu/nu become single
+    # [P] vectors), so optimizer states checkpointed before this change do
+    # not restore against the new layout (restore_state raises a leaf
+    # mismatch).  POLICY checkpoints (params only, e.g. the shipped
+    # examples/checkpoints) are unaffected; to resume an old run, rebuild
+    # the opt state with make_optimizer(cfg).init(params).
     return optax.flatten(
         optax.chain(
             optax.clip_by_global_norm(cfg.max_grad_norm), optax.adam(cfg.lr)
@@ -349,6 +355,13 @@ def _epoch_kernel_update(
         ppo_epoch_update,
     )
 
+    if n_blocks % cfg.minibatches:
+        raise ValueError(
+            f"pallas_learner='epoch' needs the shuffle-block count "
+            f"({n_blocks}) divisible by minibatches ({cfg.minibatches}) — "
+            "use the 'step' mode or a batch where T*B/shuffle_block "
+            "divides evenly"
+        )
     bpm = n_blocks // cfg.minibatches
     perms, stats = [], []
     for _ in range(cfg.epochs):

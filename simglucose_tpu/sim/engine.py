@@ -154,6 +154,7 @@ def _pallas_eligible(
 
 
 _PALLAS_RUN_CACHE: dict = {}
+_REWARD_JIT_CACHE: dict = {}
 
 
 def _pallas_cfg(
@@ -310,13 +311,24 @@ def _simulate_pallas(
     L0, H0, R0 = jax.jit(risk_scalar)(traj["BG0"])
     # per-step rewards recomputed in XLA from the kernel's CGM planes with
     # the exact ring-buffer window law (envs/functional.rewards_from_cgm) —
-    # this is what makes ANY window-based reward_fun pallas-eligible
-    from simglucose_tpu.envs.functional import rewards_from_cgm
+    # this is what makes ANY window-based reward_fun pallas-eligible.
+    # The jitted recompute is cached per (reward_fun, window): a fresh
+    # lambda per call would re-trace the W-branch reward switch every
+    # simulate() (measured ~2s at W=60).
+    from simglucose_tpu.envs.functional import (
+        reward_window_size,
+        rewards_from_cgm,
+    )
 
-    W = max(60 // cfg.sample_time, 2)
-    rewards = jax.jit(
-        lambda c0, c: rewards_from_cgm(reward_fun, W, c0, c)
-    )(traj["CGM0"], traj["CGM"])
+    W = reward_window_size(cfg.sample_time)
+    rkey = (reward_fun, W)
+    rfn = _REWARD_JIT_CACHE.get(rkey)
+    if rfn is None:
+        rfn = jax.jit(
+            lambda c0, c: rewards_from_cgm(reward_fun, W, c0, c)
+        )
+        _REWARD_JIT_CACHE[rkey] = rfn
+    rewards = rfn(traj["CGM0"], traj["CGM"])
 
     host = lambda a: np.asarray(a)[..., :B]
     zeros = np.zeros(B, np.float32)

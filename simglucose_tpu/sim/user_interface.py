@@ -236,6 +236,10 @@ def simulate(
         sim_time = pick_sim_time()
     if scenario == "__unset__":
         scenario = pick_scenario()
+    if start_time is None:
+        # the reference prompts the start hour with the scenario
+        # (user_interface.py:205-211)
+        start_time = pick_start_time()
     if patient_names is None:
         patient_names = pick_patients()
     if cgm_name is None:
@@ -246,8 +250,6 @@ def simulate(
         insulin_pump_name = pick_insulin_pump()
     if controller is None:
         controller = pick_controller()
-    if start_time is None:
-        start_time = datetime(2018, 1, 1, 0, 0, 0)
 
     return _simulate(
         sim_time=sim_time,

@@ -133,6 +133,7 @@ def test_interactive_ui_wizard(monkeypatch):
             "",  # save path: skip
             "2",  # sim hours
             "1",  # Random Scenario
+            "6",  # start hour
             "5",  # patients: By ID
             "1",  # adolescent#001
             "1",  # duplicate -> rejected with a message
