@@ -499,15 +499,20 @@ class T1DSimVectorEnv(gymnasium.vector.VectorEnv if gymnasium else object):
         where ``terminated|truncated`` (the same data the per-step dict
         exposes, in array form).
 
-        Compiled once per (n, policy-object) pair and cached (bounded, LRU
-        on insertion): pass the SAME callable each call — a fresh lambda
+        Compiled once per (n, policy-object) pair and cached (bounded,
+        true LRU — a hit refreshes the entry's recency): pass the SAME
+        callable each call — a fresh lambda
         per call recompiles the whole n-step scan, and any values the
         callable closes over are baked in as constants at first trace
         (jit a parameterized policy and close over device arrays, or
         re-create the env to pick up new weights).
         """
         key = (id(policy), int(n))
-        fn = self._stepn_cache.get(key)
+        fn = self._stepn_cache.pop(key, None)
+        if fn is not None:
+            # re-insert on hit: eviction below pops the LEAST recently
+            # used entry, not merely the oldest-inserted
+            self._stepn_cache[key] = fn
         if fn is None:
             # bound the cache: each entry pins a compiled n-step program
             # (and the policy closure); evict the oldest beyond 8

@@ -138,13 +138,50 @@ def make_optimizer(cfg: PPOConfig):
     # [P] vectors), so optimizer states checkpointed before this change do
     # not restore against the new layout (restore_state raises a leaf
     # mismatch).  POLICY checkpoints (params only, e.g. the shipped
-    # examples/checkpoints) are unaffected; to resume an old run, rebuild
-    # the opt state with make_optimizer(cfg).init(params).
-    return optax.flatten(
-        optax.chain(
-            optax.clip_by_global_norm(cfg.max_grad_norm), optax.adam(cfg.lr)
-        )
+    # examples/checkpoints) are unaffected; to resume an old run, restore
+    # against ``legacy_optimizer(cfg).init(params)`` and convert with
+    # :func:`migrate_opt_state`.
+    return optax.flatten(_base_optimizer(cfg))
+
+
+def _base_optimizer(cfg: PPOConfig):
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm), optax.adam(cfg.lr)
     )
+
+
+def legacy_optimizer(cfg: PPOConfig):
+    """The pre-flatten optimizer layout (mu/nu as PolicyParams pytrees).
+    Its ``.init(params)`` is the restore TEMPLATE for optimizer-state
+    checkpoints saved before :func:`make_optimizer` gained
+    ``optax.flatten``; pass the restored state to
+    :func:`migrate_opt_state` to resume training with the current
+    optimizer."""
+    return _base_optimizer(cfg)
+
+
+def migrate_opt_state(legacy_opt_state, params: PolicyParams, cfg: PPOConfig):
+    """Convert a legacy (unflattened) optimizer state to the current
+    flattened layout, preserving the adam step count and moments.
+
+    Usage for a pre-flatten checkpoint::
+
+        tmpl = (params_template, legacy_optimizer(cfg).init(params_template))
+        params, old_opt = restore_state(path, tmpl)
+        opt_state = migrate_opt_state(old_opt, params, cfg)
+
+    The moment vectors are raveled in ``jax.flatten_util.ravel_pytree``
+    order — exactly how ``optax.flatten`` lays them out."""
+    from jax.flatten_util import ravel_pytree
+
+    new_state = make_optimizer(cfg).init(params)
+    old_adam = _find_adam_state(legacy_opt_state)
+    new_adam = optax.ScaleByAdamState(
+        count=old_adam.count,
+        mu=ravel_pytree(old_adam.mu)[0],
+        nu=ravel_pytree(old_adam.nu)[0],
+    )
+    return _replace_adam_state(new_state, new_adam)
 
 
 def _rollout(

@@ -155,6 +155,39 @@ def _pallas_eligible(
 
 _PALLAS_RUN_CACHE: dict = {}
 _REWARD_JIT_CACHE: dict = {}
+# Both caches pin compiled executables; a sweep over horizons / cohort
+# sizes / controller gains must not grow process memory without bound, so
+# insertion evicts the oldest entry beyond these sizes.
+_PALLAS_CACHE_MAX = 16
+_REWARD_CACHE_MAX = 32
+
+# Longest single-call kernel horizon (env steps) the engine will compile.
+# Measured bound: T=4096 (an 8.5-day Dexcom run) compiles and is the
+# certified bench horizon, while a 30-day x 4096 single call FAILS over the
+# remote-TPU tunnel (HTTP 413 compile-request size — BASELINE.md round-4).
+# Longer horizons run as equal T=4096 chunks threading the kernel's
+# persistent_state, bit-identical to the hypothetical single call (the
+# kernel seeds its PRNG per (block, t-chunk) grid index, and chunk c
+# passes seed + c * n_tchunks so the grid-index stream continues exactly
+# where the previous call stopped).
+PALLAS_MAX_STEPS_PER_CALL = 4096
+
+
+def _cache_put(cache: dict, key, val, maxsize: int):
+    while len(cache) >= maxsize:
+        cache.pop(next(iter(cache)))
+    cache[key] = val
+
+
+def _pallas_horizon(n_steps: int):
+    """(steps_per_call, n_calls) for a pallas horizon: one call when it
+    fits the measured compile bound, else equal full-size chunks (the tail
+    chunk's surplus steps are sliced off after the run — one compiled
+    program instead of two)."""
+    m = PALLAS_MAX_STEPS_PER_CALL
+    if n_steps <= m:
+        return n_steps, 1
+    return m, -(-n_steps // m)
 
 
 def _pallas_cfg(
@@ -163,8 +196,9 @@ def _pallas_cfg(
 ):
     """The kernel configuration simulate() would run this request with —
     shared by :func:`_simulate_pallas` and the auto-engine's compiled-probe
-    (``(cfg, padded, n_dev, interpret)`` keys ``_PALLAS_RUN_CACHE``).
-    Returns (cfg, padded_batch, padded_names, n_dev)."""
+    so the two can NEVER drift (both build their cache key through
+    :func:`_pallas_run_key` on this function's output).
+    Returns (cfg, padded_batch, padded_names, n_dev, n_calls)."""
     from simglucose_tpu.ops.pallas_rollout import LANES, config_for_sensor
 
     n_dev = jax.device_count()
@@ -176,6 +210,7 @@ def _pallas_cfg(
     names_p = [patient_names[i % B] for i in range(padded)]
     rows_per_dev = padded // LANES // n_dev
     block_rows = max(r for r in (32, 16, 8, 4, 2, 1) if rows_per_dev % r == 0)
+    n_steps, n_calls = _pallas_horizon(n_steps)
     t_chunk = max(c for c in (32, 16, 8, 6, 5, 4, 3, 2, 1) if n_steps % c == 0)
 
     pump = tables.pump_record(insulin_pump_name)
@@ -226,8 +261,17 @@ def _pallas_cfg(
         random_init_bg=random_init_bg,
         autoreset=False,
         fixed_start_min=start_min,
+        # multi-call horizons thread the simulator state between calls
+        persistent_state=n_calls > 1,
     )
-    return cfg, padded, names_p, n_dev
+    return cfg, padded, names_p, n_dev, n_calls
+
+
+def _pallas_run_key(cfg, padded: int, n_dev: int, interpret: bool):
+    """THE cache key for a compiled simulate() kernel — the auto-engine's
+    compiled-probe and :func:`_cached_pallas_run` both call this, so the
+    probe can never drift from the key the run would use."""
+    return (cfg, padded, n_dev, interpret)
 
 
 def _cached_pallas_run(cfg, padded: int, n_dev: int, interpret: bool):
@@ -236,7 +280,7 @@ def _cached_pallas_run(cfg, padded: int, n_dev: int, interpret: bool):
     measured 38 s for a warm 30-patient day over the remote-TPU tunnel vs
     ~1 s compiled (the un-jitted path re-lowers per call and pays per-op
     dispatch)."""
-    key = (cfg, padded, n_dev, interpret)
+    key = _pallas_run_key(cfg, padded, n_dev, interpret)
     fn = _PALLAS_RUN_CACHE.get(key)
     if fn is None:
         from simglucose_tpu.ops.pallas_rollout import (
@@ -255,7 +299,7 @@ def _cached_pallas_run(cfg, padded: int, n_dev: int, interpret: bool):
             )
         else:
             fn = jax.jit(make_pallas_rollout(cfg, padded, interpret=interpret))
-        _PALLAS_RUN_CACHE[key] = fn
+        _cache_put(_PALLAS_RUN_CACHE, key, fn, _PALLAS_CACHE_MAX)
     return fn
 
 
@@ -280,13 +324,29 @@ def _simulate_pallas(
 
     On multi-device backends the kernel runs under shard_map over a dp mesh
     (one kernel instance per chip, zero rollout communication —
-    ops/pallas_rollout.py make_sharded_pallas_rollout)."""
+    ops/pallas_rollout.py make_sharded_pallas_rollout).
+
+    Horizons beyond ``PALLAS_MAX_STEPS_PER_CALL`` (the measured single-call
+    compile bound) run as equal chunks threading the kernel's
+    ``persistent_state`` — ONE compiled program reused across chunks, with
+    per-chunk host gathering so device memory stays bounded by the chunk,
+    not the horizon (the reference's sim_time is unbounded,
+    sim_engine.py:29-39).  Chunked trajectories are BIT-identical to the
+    hypothetical single call: the kernel's PRNG is seeded per (block,
+    t-chunk) grid index and chunk c runs with ``seed + c * n_tchunks``, so
+    the grid-index stream continues exactly where the previous call
+    stopped (tests/test_sim_api.py chunked-parity test)."""
     from simglucose_tpu.analysis.risk import risk_scalar
     from simglucose_tpu.models.uva_padova import basal_rate
-    from simglucose_tpu.ops.pallas_rollout import pack_params
+    from simglucose_tpu.ops.pallas_rollout import (
+        LANES,
+        NS_F,
+        NS_I,
+        pack_params,
+    )
 
     B = len(patient_names)
-    cfg, padded, names_p, n_dev = _pallas_cfg(
+    cfg, padded, names_p, n_dev, n_calls = _pallas_cfg(
         patient_names, cgm_name, insulin_pump_name, controller, n_steps,
         start_min, random_init_bg, start_time, scenario,
     )
@@ -304,11 +364,46 @@ def _simulate_pallas(
         packed = jax.device_put(
             packed, NamedSharding(mesh, P(None, "dp"))
         )
-    traj = _cached_pallas_run(cfg, padded, n_dev, interpret)(packed, seed)
-
-    # per-step risk columns (reference env.py:83-85) computed on device
-    LBGI, HBGI, RI = jax.jit(risk_scalar)(traj["BG"])
-    L0, H0, R0 = jax.jit(risk_scalar)(traj["BG0"])
+    runner = _cached_pallas_run(cfg, padded, n_dev, interpret)
+    risk_fn = jax.jit(risk_scalar)
+    plane_keys = ("BG", "CGM", "CHO", "insulin")
+    if n_calls == 1:
+        traj = runner(packed, seed)
+        L, H, RI = risk_fn(traj["BG"])
+        bg0, cgm0 = traj["BG0"], traj["CGM0"]
+        planes = {k: np.asarray(traj[k]) for k in plane_keys}
+        planes.update(LBGI=np.asarray(L), HBGI=np.asarray(H),
+                      risk=np.asarray(RI))
+    else:
+        # state threads through ONE compiled program (explicit zero state +
+        # traced init on the first call keeps the pytree signature — and
+        # hence the compilation — identical across chunks)
+        state = (
+            jnp.zeros((NS_F, padded // LANES, LANES), jnp.float32),
+            jnp.zeros((NS_I, padded // LANES, LANES), jnp.int32),
+        )
+        n_tchunks = cfg.n_steps // cfg.t_chunk
+        acc = {k: [] for k in
+               plane_keys + ("LBGI", "HBGI", "risk")}
+        bg0 = cgm0 = None
+        for c in range(n_calls):
+            traj = runner(
+                packed, seed + c * n_tchunks, state=state,
+                init=1 if c == 0 else 0,
+            )
+            state = (traj["state_f"], traj["state_i"])
+            if c == 0:
+                bg0, cgm0 = traj["BG0"], traj["CGM0"]
+            L, H, RI = risk_fn(traj["BG"])
+            for k in plane_keys:
+                acc[k].append(np.asarray(traj[k]))
+            acc["LBGI"].append(np.asarray(L))
+            acc["HBGI"].append(np.asarray(H))
+            acc["risk"].append(np.asarray(RI))
+        planes = {
+            k: np.concatenate(v, axis=0)[:n_steps] for k, v in acc.items()
+        }
+    L0, H0, R0 = risk_fn(bg0)
     # per-step rewards recomputed in XLA from the kernel's CGM planes with
     # the exact ring-buffer window law (envs/functional.rewards_from_cgm) —
     # this is what makes ANY window-based reward_fun pallas-eligible.
@@ -327,23 +422,23 @@ def _simulate_pallas(
         rfn = jax.jit(
             lambda c0, c: rewards_from_cgm(reward_fun, W, c0, c)
         )
-        _REWARD_JIT_CACHE[rkey] = rfn
-    rewards = rfn(traj["CGM0"], traj["CGM"])
+        _cache_put(_REWARD_JIT_CACHE, rkey, rfn, _REWARD_CACHE_MAX)
+    rewards = rfn(cgm0, planes["CGM"])
 
     host = lambda a: np.asarray(a)[..., :B]
     zeros = np.zeros(B, np.float32)
     traj_ns = _FrameFields(
-        BG=host(traj["BG"]),
-        CGM=host(traj["CGM"]),
-        CHO=host(traj["CHO"]),
-        insulin=host(traj["insulin"]),
-        LBGI=host(LBGI),
-        HBGI=host(HBGI),
-        risk=host(RI),
+        BG=host(planes["BG"]),
+        CGM=host(planes["CGM"]),
+        CHO=host(planes["CHO"]),
+        insulin=host(planes["insulin"]),
+        LBGI=host(planes["LBGI"]),
+        HBGI=host(planes["HBGI"]),
+        risk=host(planes["risk"]),
     )
     reset_ns = _FrameFields(
-        BG=host(traj["BG0"]),
-        CGM=host(traj["CGM0"]),
+        BG=host(bg0),
+        CGM=host(cgm0),
         CHO=zeros,
         insulin=zeros,
         LBGI=host(L0),
@@ -464,11 +559,16 @@ def simulate(
     if engine == "auto" and blocker is None:
         n_steps_est = int(sim_time.total_seconds() // 60) // tables.sensor_sample_time(cgm_name)
         start_min_est = (start_time.hour * 60 + start_time.minute) % 1440
-        cfg_p, padded_p, _, n_dev_p = _pallas_cfg(
+        cfg_p, padded_p, _, n_dev_p, _ = _pallas_cfg(
             patient_names, cgm_name, insulin_pump_name, controller,
             n_steps_est, start_min_est, random_init_bg, start_time, scenario,
         )
-        compiled = (cfg_p, padded_p, n_dev_p, False) in _PALLAS_RUN_CACHE
+        # probe key built by the SAME helper _cached_pallas_run uses, with
+        # the interpret flag the pallas run below would pass (its default)
+        compiled = (
+            _pallas_run_key(cfg_p, padded_p, n_dev_p, False)
+            in _PALLAS_RUN_CACHE
+        )
         if not compiled and B * n_steps_est < 2e8:
             blocker = (
                 f"auto heuristic: cold kernel compile not amortized at "

@@ -172,3 +172,59 @@ def test_orbax_sharded_fused_trainstate_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     for k in ma:
         np.testing.assert_array_equal(np.asarray(ma[k]), np.asarray(mb[k]))
+
+
+def test_migrate_legacy_opt_state():
+    """Pre-flatten optimizer-state checkpoints resume exactly: restore
+    against legacy_optimizer(cfg).init(params) and convert with
+    migrate_opt_state — the migrated state produces the SAME next update
+    as an optimizer that had been flattened all along (ADVICE r4 item 1)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from simglucose_tpu.rl.policy import init_policy
+    from simglucose_tpu.rl.ppo import (
+        PPOConfig,
+        legacy_optimizer,
+        make_optimizer,
+        migrate_opt_state,
+    )
+
+    cfg = PPOConfig(lr=1e-2)
+    params = init_policy(jax.random.PRNGKey(0), act="relu")
+    grads = jax.tree.map(
+        lambda a: jnp.full_like(a, 0.01) + 0.1 * a, params
+    )
+
+    # a run that trained 3 steps on the legacy (unflattened) optimizer
+    leg_opt = legacy_optimizer(cfg)
+    leg_state = leg_opt.init(params)
+    leg_params = params
+    for _ in range(3):
+        u, leg_state = leg_opt.update(grads, leg_state, leg_params)
+        leg_params = optax.apply_updates(leg_params, u)
+
+    # the same run on the current flattened optimizer
+    new_opt = make_optimizer(cfg)
+    new_state = new_opt.init(params)
+    new_params = params
+    for _ in range(3):
+        u, new_state = new_opt.update(grads, new_state, new_params)
+        new_params = optax.apply_updates(new_params, u)
+
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7),
+        leg_params, new_params,
+    )
+
+    # migrate, then take one MORE step on each and require identical params
+    migrated = migrate_opt_state(leg_state, leg_params, cfg)
+    u_m, _ = new_opt.update(grads, migrated, leg_params)
+    p_m = optax.apply_updates(leg_params, u_m)
+    u_n, _ = new_opt.update(grads, new_state, new_params)
+    p_n = optax.apply_updates(new_params, u_n)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7),
+        p_m, p_n,
+    )

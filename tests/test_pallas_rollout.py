@@ -524,3 +524,45 @@ def test_stochastic_law():
     assert not np.array_equal(bg, np.asarray(traj_diff["BG"]))
     # init BG randomization is active (random_init_bg=True default)
     assert len(np.unique(np.asarray(traj["BG0"]))) > B // 2
+
+
+def test_chunked_persistent_matches_single_call_exactly():
+    """Long-horizon chunking contract (sim/engine.py _simulate_pallas): a
+    horizon run as K persistent_state chunks with ``seed + c * n_tchunks``
+    per chunk is BIT-identical to the single-call run, because the kernel
+    seeds its PRNG per (block, t-chunk) grid index and the offset seed
+    continues the grid-index stream exactly where the previous call
+    stopped.  Stochastic config (noise + random meals + random init BG +
+    random start hours) so every draw site is exercised."""
+    names = cohort_names(B)
+    _, packed = _packed(names)
+    common = dict(
+        block_rows=1, t_chunk=2, prng="sw", controller="pid",
+        autoreset=False, random_init_bg=True,
+    )
+    single = PallasRolloutConfig(n_steps=8, **common)
+    chunked = PallasRolloutConfig(n_steps=4, persistent_state=True, **common)
+
+    traj_s = make_pallas_rollout(single, B, interpret=True)(packed, 13)
+
+    run_c = make_pallas_rollout(chunked, B, interpret=True)
+    n_tchunks = chunked.n_steps // chunked.t_chunk
+    out0 = run_c(packed, 13, init=1)
+    out1 = run_c(
+        packed, 13 + n_tchunks,
+        state=(out0["state_f"], out0["state_i"]), init=0,
+    )
+    for k in ("BG", "CGM", "CHO", "insulin", "reward", "done"):
+        got = np.concatenate(
+            [np.asarray(out0[k]), np.asarray(out1[k])], axis=0
+        )
+        np.testing.assert_array_equal(
+            got, np.asarray(traj_s[k]), err_msg=k
+        )
+    # the reset rows come from the init call
+    np.testing.assert_array_equal(
+        np.asarray(out0["BG0"]), np.asarray(traj_s["BG0"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out0["CGM0"]), np.asarray(traj_s["CGM0"])
+    )

@@ -381,3 +381,39 @@ def test_engine_auto_cold_heuristic(monkeypatch):
     # ran (on the XLA path — the pallas path would crash on CPU without
     # interpret mode, so completing IS the assertion) with the reward attrs
     assert df.attrs["reward"].shape == (20, 1)
+
+
+def test_simulate_pallas_chunked_long_horizon(monkeypatch):
+    """Horizons beyond PALLAS_MAX_STEPS_PER_CALL run as persistent_state
+    chunks inside _simulate_pallas: one compiled program, state threaded
+    between calls, planes concatenated and sliced to the requested horizon
+    (VERDICT r4 item 2; bit-level chunk parity is pinned at kernel level by
+    tests/test_pallas_rollout.py).  Forced here with a tiny chunk bound so
+    n_steps=6 runs as 3 chunks of 2."""
+    from simglucose_tpu.sim import engine as eng
+
+    monkeypatch.setattr(eng, "PALLAS_MAX_STEPS_PER_CALL", 2)
+    names = ["adolescent#001", "adult#003"]
+    df = eng._simulate_pallas(
+        names,
+        "Dexcom",
+        "Insulet",
+        "PID",
+        n_steps=6,
+        start_min=0,
+        random_init_bg=False,
+        seed=3,
+        start_time=datetime(2018, 1, 1),
+        interpret=True,
+    )
+    assert set(df.index.get_level_values(0)) == set(names)
+    for name in names:
+        sub = df.loc[name]
+        assert len(sub) == 7  # reset row + 6 steps
+        bg = sub.BG.to_numpy()
+        assert np.isfinite(bg).all()
+        # state threads across chunk boundaries: no re-init jump at steps
+        # 2->3 and 4->5 (a dropped carry would snap BG back toward x0)
+        jumps = np.abs(np.diff(bg))
+        assert jumps.max() < 25.0, jumps
+    assert df.attrs["reward"].shape == (6, 2)
