@@ -82,21 +82,19 @@ def pack_minibatch_rows(obs, raw, logp, adv, ret):
 
 
 def _tile_grads(
-    data, w1t, b1, w2t, b2, wht, bh,
+    x, raw, logp_old, adv, ret, w1t, b1, w2t, b2, wht, bh,
     log_std, adv_mean, adv_rstd, inv_n,
     *, act, clip_eps, vf_coef, cd,
 ):
-    """Forward + PPO loss + hand-derived backward for ONE [FM_ROWS, Rt]
-    tile, on weight VALUES (shared by the grad-step and whole-epoch
-    kernels).  Returns (dw1_t [8,H], db1_t [H,1], dw2_t [H,H], db2_t [H,1],
-    dwh_t [H,2], dbh_t [2,1], ds_t, pg_t, v_t)."""
+    """Forward + PPO loss + hand-derived backward for ONE row tile, on
+    weight VALUES (shared by the grad-step and whole-epoch kernels).
+    ``x`` is [8, Rt] (row 7 nulled by w1t's zero pad column — it may carry
+    the rollout kernel's value row in the emit-mode buffer); raw /
+    logp_old / adv / ret are [1, Rt].  Returns (dw1_t [8,H], db1_t [H,1],
+    dw2_t [H,H], db2_t [H,1], dwh_t [H,2], dbh_t [2,1], ds_t, pg_t, v_t).
+    dw1_t's row 7 is the pad column's gradient — callers discard or mask
+    it."""
     f32 = jnp.float32
-    x = data[0:8, :]  # [8, Rt] (row 7 is zeros)
-    tail = data[8:12, :]  # [4, Rt]
-    raw = tail[0:1, :]
-    logp_old = tail[1:2, :]
-    adv = tail[2:3, :]
-    ret = tail[3:4, :]
 
     def mm(a, b):  # a [A, K] @ b [K, R] -> [A, R]
         return jax.lax.dot_general(
@@ -200,13 +198,27 @@ def _kernel(
 ):
     t = pl.program_id(0)
 
+    data = data_ref[:, :]
     (dw1_t, db1_t, dw2_t, db2_t, dwh_t, dbh_t, ds_t, pg_t, v_t) = _tile_grads(
-        data_ref[:, :],
+        data[0:8, :], data[8:9, :], data[9:10, :], data[10:11, :],
+        data[11:12, :],
         w1t_ref[:, :], b1_ref[:, :], w2t_ref[:, :], b2_ref[:, :],
         wht_ref[:, :], bh_ref[:, :],
         scal_ref[0, 0], scal_ref[0, 1], scal_ref[0, 2], scal_ref[0, 3],
         act=act, clip_eps=clip_eps, vf_coef=vf_coef, cd=compute_dtype,
     )
+    _accumulate(
+        t, dw1_t, db1_t, dw2_t, db2_t, dwh_t, dbh_t, ds_t, pg_t, v_t,
+        dw1_ref, db1_ref, dw2_ref, db2_ref, dwh_ref, dbh_ref, sums_ref,
+    )
+
+
+def _accumulate(
+    t, dw1_t, db1_t, dw2_t, db2_t, dwh_t, dbh_t, ds_t, pg_t, v_t,
+    dw1_ref, db1_ref, dw2_ref, db2_ref, dwh_ref, dbh_ref, sums_ref,
+):
+    """Accumulate a tile's gradients into the VMEM-resident outputs across
+    grid steps (shared by the single- and two-buffer grad-step kernels)."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
     sums_t = (
         jnp.where(lane == 0, ds_t, 0.0)
@@ -233,6 +245,39 @@ def _kernel(
         dwh_ref[:, :] += dwh_t
         dbh_ref[:, :] += dbh_t
         sums_ref[:, :] += sums_t
+
+
+def _kernel2(
+    scal_ref,  # SMEM [1, 4]: log_std, adv_mean, adv_rstd, inv_n
+    main_ref,  # VMEM [10, Rt]: rows 0-6 obs, 7 value (ignored), 8 raw,
+    #            9 logp_old — the rollout kernel's emit-mode buffer
+    advret_ref,  # VMEM [2, Rt]: adv, ret (the GAE outputs)
+    w1t_ref, b1_ref, w2t_ref, b2_ref, wht_ref, bh_ref,
+    dw1_ref, db1_ref, dw2_ref, db2_ref, dwh_ref, dbh_ref, sums_ref,
+    *,
+    act: str,
+    clip_eps: float,
+    vf_coef: float,
+    compute_dtype,
+):
+    """The grad-step kernel over the TWO-buffer layout: the rollout
+    kernel's [10, N] learner buffer plus the [2, N] adv/ret companion,
+    both gathered by the same shuffle-block index map — no repack of the
+    rollout output is ever materialized."""
+    t = pl.program_id(0)
+    main = main_ref[:, :]
+    ar = advret_ref[:, :]
+    (dw1_t, db1_t, dw2_t, db2_t, dwh_t, dbh_t, ds_t, pg_t, v_t) = _tile_grads(
+        main[0:8, :], main[8:9, :], main[9:10, :], ar[0:1, :], ar[1:2, :],
+        w1t_ref[:, :], b1_ref[:, :], w2t_ref[:, :], b2_ref[:, :],
+        wht_ref[:, :], bh_ref[:, :],
+        scal_ref[0, 0], scal_ref[0, 1], scal_ref[0, 2], scal_ref[0, 3],
+        act=act, clip_eps=clip_eps, vf_coef=vf_coef, cd=compute_dtype,
+    )
+    _accumulate(
+        t, dw1_t, db1_t, dw2_t, db2_t, dwh_t, dbh_t, ds_t, pg_t, v_t,
+        dw1_ref, db1_ref, dw2_ref, db2_ref, dwh_ref, dbh_ref, sums_ref,
+    )
 
 
 def ppo_grad_step(
@@ -466,6 +511,136 @@ def ppo_grad_step_gather(
     )
 
 
+def ppo_grad_step_gather2(
+    main_fm: jnp.ndarray,  # [10, N] the rollout kernel's learner buffer
+    advret_fm: jnp.ndarray,  # [2, N] (adv, ret) from GAE
+    perm_mb: jnp.ndarray,  # [bpm] i32: this minibatch's shuffle-block ids
+    block_rows: int,
+    w1, b1, w2, b2, w_head, b_head, log_std,
+    adv_mean, adv_std,
+    *,
+    act: str = "relu",
+    clip_eps: float = 0.2,
+    vf_coef: float = 0.5,
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+    loss_rows: int | None = None,
+) -> PPOGradOut:
+    """:func:`ppo_grad_step_gather` over the TWO-buffer layout the rollout
+    kernel emits directly (``nn_emit_learner_rows``): the [10, N] buffer
+    (obs rows 0-6, value 7, raw 8, logp 9) stays exactly as the rollout
+    kernel wrote it, and the GAE stage's [2, N] adv/ret companion rides a
+    second gathered input with the SAME scalar-prefetched block index map.
+    Nothing is repacked between the rollout and the grad step — the whole
+    XLA prep stage (featurize + forwards + pack) of the round-3 design is
+    gone (VERDICT r4 item 1)."""
+    if act not in ("relu", "tanh"):
+        raise ValueError(f"act must be relu|tanh; got {act!r}")
+    nrows, N = main_fm.shape
+    if nrows != 10:
+        raise ValueError(f"main_fm must have 10 rows; got {nrows}")
+    if advret_fm.shape != (2, N):
+        raise ValueError(
+            f"advret_fm must be [2, {N}]; got {advret_fm.shape}"
+        )
+    bs = int(block_rows)
+    if N % bs:
+        raise ValueError(f"N={N} not divisible by block_rows={bs}")
+    bpm = perm_mb.shape[0]
+    mb = bpm * bs
+    n = float(loss_rows if loss_rows is not None else mb)
+    H = w1.shape[1]
+    f32 = jnp.float32
+
+    scal = jnp.stack(
+        [
+            jnp.asarray(log_std, f32).reshape(()),
+            jnp.asarray(adv_mean, f32).reshape(()),
+            1.0 / (jnp.asarray(adv_std, f32).reshape(()) + 1e-8),
+            jnp.asarray(1.0 / n, f32),
+        ]
+    ).reshape(1, 4)
+    w1t = jnp.pad(w1.astype(f32), ((0, 1), (0, 0))).T
+    w2t = w2.astype(f32).T
+    wht = w_head.astype(f32).T
+
+    kernel = functools.partial(
+        _kernel2,
+        act=act,
+        clip_eps=float(clip_eps),
+        vf_coef=float(vf_coef),
+        compute_dtype=compute_dtype,
+    )
+    const = lambda t, perm: (0, 0)
+    gather = lambda t, perm: (0, perm[t])
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bpm,),
+        in_specs=[
+            pl.BlockSpec((1, 4), const, memory_space=pltpu.SMEM),
+            pl.BlockSpec((10, bs), gather),
+            pl.BlockSpec((2, bs), gather),
+            pl.BlockSpec((H, 8), const),
+            pl.BlockSpec((H, 1), const),
+            pl.BlockSpec((H, H), const),
+            pl.BlockSpec((H, 1), const),
+            pl.BlockSpec((2, H), const),
+            pl.BlockSpec((2, 1), const),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, H), const),
+            pl.BlockSpec((H, 1), const),
+            pl.BlockSpec((H, H), const),
+            pl.BlockSpec((H, 1), const),
+            pl.BlockSpec((H, 2), const),
+            pl.BlockSpec((2, 1), const),
+            pl.BlockSpec((1, 8), const),
+        ],
+    )
+
+    def kernel_with_prefetch(perm_ref, *refs, **kw):
+        # the scalar-prefetch ref is consumed by the index maps only
+        return kernel(*refs, **kw)
+
+    outs = pl.pallas_call(
+        kernel_with_prefetch,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((8, H), f32),
+            jax.ShapeDtypeStruct((H, 1), f32),
+            jax.ShapeDtypeStruct((H, H), f32),
+            jax.ShapeDtypeStruct((H, 1), f32),
+            jax.ShapeDtypeStruct((H, 2), f32),
+            jax.ShapeDtypeStruct((2, 1), f32),
+            jax.ShapeDtypeStruct((1, 8), f32),
+        ],
+        interpret=interpret,
+    )(
+        perm_mb.astype(jnp.int32),
+        scal,
+        main_fm,
+        advret_fm,
+        w1t,
+        b1.astype(f32).reshape(H, 1),
+        w2t,
+        b2.astype(f32).reshape(H, 1),
+        wht,
+        b_head.astype(f32).reshape(2, 1),
+    )
+    dw1, db1, dw2, db2, dwh, dbh, sums = outs
+    return PPOGradOut(
+        dw1=dw1[:OBS_DIM],
+        db1=db1[:, 0],
+        dw2=dw2,
+        db2=db2[:, 0],
+        dw_head=dwh,
+        db_head=dbh[:, 0],
+        dlog_std=sums[0, 0],
+        pg_sum=sums[0, 1],
+        v_sum=sums[0, 2],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Whole-epoch learner: ALL grad steps + clip + adam in ONE kernel
 # ---------------------------------------------------------------------------
@@ -533,8 +708,10 @@ def _epoch_kernel(
         sc[2] = ls_ref[0, 2]
 
     log_std = sc[0]
+    data = data_ref[:, :]
     grads = _tile_grads(
-        data_ref[:, :],
+        data[0:8, :], data[8:9, :], data[9:10, :], data[10:11, :],
+        data[11:12, :],
         ws[0][:, :], ws[1][:, :], ws[2][:, :], ws[3][:, :],
         ws[4][:, :], ws[5][:, :],
         log_std, stats_ref[e_i, 0], stats_ref[e_i, 1], inv_n,
@@ -544,7 +721,12 @@ def _epoch_kernel(
     ds_t, pg_t, v_t = grads[6], grads[7], grads[8]
     # grad layouts must match the weight scratch layouts:
     # ws = (w1t [H,8], b1 [H,1], w2t [H,H], b2 [H,1], wht [2,H], bh [2,1])
-    # tile grads come in original orientation -> transpose w-grads
+    # tile grads come in original orientation -> transpose w-grads.
+    # dw1t's pad column (obs row 7) is structurally zero in the REAL
+    # parameterization: it is exactly zero here because the 12-row buffer
+    # keeps row 7 zeroed (pack_minibatch_rows), so no masking is needed —
+    # the global-norm clip and the in-kernel adam see the same numbers
+    # optax would.
     gw = (
         tile_g[0].T,  # dw1t [H, 8]
         tile_g[1],  # db1 [H, 1]

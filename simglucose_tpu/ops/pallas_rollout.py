@@ -42,6 +42,7 @@ from simglucose_tpu.models.uva_padova import EAT_RATE, model_rhs_parts
 LANES = 128
 MDL_SAMPLE_TIME = 15  # noise lattice spacing, min (noise_gen.py:17)
 MINUTES_PER_DAY = 1440
+_LOG_2PI = math.log(2.0 * math.pi)
 
 # Meal-slot law (scenario/meal.py, reference scenario_gen.py:36-44)
 _MEAL_PROB = (0.95, 0.3, 0.95, 0.3, 0.95, 0.3)
@@ -107,6 +108,21 @@ class PallasRolloutConfig:
     # [H,7]x[7,128] matmuls per step (VERDICT r3 item 5's MXU batching).
     # Same values; flag-gated so the per-row form remains measurable.
     nn_batched_mlp: bool = False
+    # nn_emit_learner_rows=True: instead of the raw/octrl/oins/ocho/oprev/
+    # oiob observation planes, the kernel emits the PPO learner's
+    # feature-major buffer DIRECTLY — one [10, n_steps, rows, 128] output
+    # whose rows are [0:7] the featurized observation, [7] the VALUE head
+    # (the learner's forward nulls that row via its zero-padded w1 column),
+    # [8] the raw pre-squash action, [9] the behavior log-prob — plus the
+    # tail observation's value in the reset rows.  This removes the
+    # XLA prep stage (featurize + logp/value forwards + pack) between the
+    # rollout and the fused learner kernel entirely: after GAE (a [T, B]
+    # associative scan) the learner gathers minibatches straight from this
+    # buffer (ops/pallas_ppo_learner.ppo_grad_step_gather2).  The value
+    # head rides the same in-kernel trunk as mu (one extra [H,1] read-out
+    # per step); weights must come from pack_policy_weights (which always
+    # ships w_v/b_v).
+    nn_emit_learner_rows: bool = False
     # persistent_state=True: the full simulator state streams in/out of the
     # kernel as HBM arrays instead of living in per-call scratch, so
     # consecutive calls CONTINUE episodes (the PPO trainer's env-state carry
@@ -237,10 +253,11 @@ def pack_policy_weights(params) -> jnp.ndarray:
     kernel's 'nn' controller.
 
     Column layout (H = hidden width, OBS_DIM = 7): [0:7] w1^T | [7] b1 |
-    [8] w_mu | [9] rows 0/1 = (b_mu, log_std) | [12:12+H] w2^T | [12+H] b2.
-    The value head (w_v/b_v) is NOT shipped: the kernel only needs the
-    policy mean — values and log-probs are recomputed by the learner in one
-    batched XLA forward pass over the rollout's observation outputs.
+    [8] w_mu | [9] rows 0/1/2 = (b_mu, log_std, b_v) | [10] w_v |
+    [12:12+H] w2^T | [12+H] b2.  The value head (w_v at col 10, b_v at
+    buf[2, 9]) feeds the ``nn_emit_learner_rows`` config, where the kernel
+    computes values and log-probs in-kernel; plain 'nn' configs read only
+    the policy-mean columns.
 
     The kernel's trunk is hardwired relu; params carrying any other static
     ``act`` metadata (rl/policy.py PolicyParams) are rejected so a
@@ -265,6 +282,8 @@ def pack_policy_weights(params) -> jnp.ndarray:
     buf = buf.at[:, 8].set(params.w_mu[:, 0].astype(jnp.float32))
     buf = buf.at[0, 9].set(params.b_mu[0].astype(jnp.float32))
     buf = buf.at[1, 9].set(params.log_std[0].astype(jnp.float32))
+    buf = buf.at[2, 9].set(params.b_v[0].astype(jnp.float32))
+    buf = buf.at[:, 10].set(params.w_v[:, 0].astype(jnp.float32))
     buf = buf.at[:, 12:12 + H].set(params.w2.T.astype(jnp.float32))
     buf = buf.at[:, 12 + H].set(params.b2.astype(jnp.float32))
     return buf
@@ -603,6 +622,7 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
     n_tchunks = cfg.n_steps // TC
 
     nn = cfg.controller == "nn"
+    emit = nn and cfg.nn_emit_learner_rows
 
     def kernel(*refs):
         # inputs: seed, params, [wnn], [rnoise, noise], [state_f, state_i]
@@ -624,8 +644,11 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
         cgm_out, bg_out, rew_out, done_out, cho_out, ins_out = refs[k:k + 6]
         k += 6
         raw_out = octrl_out = oins_out = ocho_out = None
-        oprev_out = oiob_out = None
-        if nn:
+        oprev_out = oiob_out = lrn_out = None
+        if emit:
+            lrn_out = refs[k]  # [10, TC, R, 128] learner-row block
+            k += 1
+        elif nn:
             (raw_out, octrl_out, oins_out, ocho_out, oprev_out,
              oiob_out) = refs[k:k + 6]
             k += 6
@@ -757,6 +780,84 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
             inv120b = 1.0 / (120.0 * (basal_rate_u + 1e-8))
             f7 = jnp.tanh(20.0 * basal_rate_u)
             iob_decay = math.exp(-st / 100.0)  # iob_step, tau=100 min
+            H = cfg.nn_hidden
+            w1t = wnn_ref[:, 0:7]  # [H, 7]
+            b1 = wnn_ref[:, 7:8]  # [H, 1]
+            wmu = wnn_ref[:, 8:9]  # [H, 1]
+            # b_mu / log_std / b_v come through SMEM: scalar->vector
+            # broadcast is native there, while a [1,1] VMEM slice broadcast
+            # to [R,128] is "broadcast in both sublanes and lanes"
+            # (unimplemented in Mosaic)
+            bmu_s = nns_ref[0]
+            log_std_s = nns_ref[1]
+            sigma_s = jnp.exp(log_std_s)
+            w2t = wnn_ref[:, 12:12 + H]  # [H, H]
+            b2 = wnn_ref[:, 12 + H:13 + H]  # [H, 1]
+            if emit:
+                wv = wnn_ref[:, 10:11]  # [H, 1] value head
+                bv_s = nns_ref[2]
+                inv_sigma = jnp.exp(-log_std_s)
+
+            def nn_forward(feats):
+                """Policy trunk on the MXU over all R sublane rows ->
+                (mu [R,128], value [R,128] or None).  The value head is
+                one extra [H,1] read-out of the shared trunk (emit mode
+                only)."""
+                if cfg.nn_batched_mlp:
+                    # one batched trunk over all R rows: contract the
+                    # feature axis, lanes = patients, rows ride a batch dim
+                    obs_all = jnp.stack(feats, axis=0)  # [7, R, 128]
+                    dn = (((1,), (0,)), ((), ()))
+                    h = jnp.maximum(
+                        jax.lax.dot_general(
+                            w1t, obs_all, dimension_numbers=dn,
+                            preferred_element_type=jnp.float32,
+                        ) + b1[:, :, None],
+                        0.0,
+                    )  # [H, R, 128]
+                    h = jnp.maximum(
+                        jax.lax.dot_general(
+                            w2t, h, dimension_numbers=dn,
+                            preferred_element_type=jnp.float32,
+                        ) + b2[:, :, None],
+                        0.0,
+                    )
+                    mu = jnp.sum(h * wmu[:, :, None], axis=0) + bmu_s
+                    v = (
+                        jnp.sum(h * wv[:, :, None], axis=0) + bv_s
+                        if emit else None
+                    )
+                else:
+                    # [H,7]@[7,128] + [H,H]@[H,128] MXU pair per sublane
+                    # row (lanes = patients, sublanes = hidden units)
+                    mu_rows, v_rows = [], []
+                    for r in range(R):
+                        obs_r = jnp.stack(
+                            [f[r] for f in feats], axis=0
+                        )  # [7, 128]
+                        h = jnp.maximum(
+                            jnp.dot(
+                                w1t, obs_r, preferred_element_type=jnp.float32
+                            ) + b1,
+                            0.0,
+                        )
+                        h = jnp.maximum(
+                            jnp.dot(
+                                w2t, h, preferred_element_type=jnp.float32
+                            ) + b2,
+                            0.0,
+                        )
+                        mu_rows.append(jnp.sum(h * wmu, axis=0, keepdims=True))
+                        if emit:
+                            v_rows.append(
+                                jnp.sum(h * wv, axis=0, keepdims=True)
+                            )
+                    mu = jnp.concatenate(mu_rows, axis=0) + bmu_s  # [R, 128]
+                    v = (
+                        jnp.concatenate(v_rows, axis=0) + bv_s
+                        if emit else None
+                    )
+                return mu, v
         cache_xs = tuple(fs[41 + i] for i in range(13))
         cache_e = fs[54]
         cache_lat = [fs[55 + i] for i in range(4)]
@@ -774,26 +875,6 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
             # ---- controller acts on the previous step's CGM observation,
             # exactly like the closed loop (sim_engine.py:33-37) ----
             if nn:
-                # record the controller's observation inputs FIRST (the
-                # learner reconstructs featurize() from these to recompute
-                # logp/value outside the kernel)
-                octrl_out[i_step] = ctrl_prev
-                oins_out[i_step] = ins_prev
-                ocho_out[i_step] = prev_cho
-                oprev_out[i_step] = ctrl_pprev
-                oiob_out[i_step] = iob
-                H = cfg.nn_hidden
-                w1t = wnn_ref[:, 0:7]  # [H, 7]
-                b1 = wnn_ref[:, 7:8]  # [H, 1]
-                wmu = wnn_ref[:, 8:9]  # [H, 1]
-                # b_mu / log_std come through SMEM: scalar->vector broadcast
-                # is native there, while a [1,1] VMEM slice broadcast to
-                # [R,128] is "broadcast in both sublanes and lanes"
-                # (unimplemented in Mosaic)
-                bmu_s = nns_ref[0]
-                sigma_s = jnp.exp(nns_ref[1])
-                w2t = wnn_ref[:, 12:12 + H]  # [H, H]
-                b2 = wnn_ref[:, 12 + H:13 + H]  # [H, 1]
                 # featurize (rl/policy.py featurize_parts): [cgm/400,
                 # (cgm-140)/100, tanh(ins/(3b)), tanh(cho/10),
                 # tanh(trend/10), tanh(iob/(120b)), tanh(20b)]
@@ -803,58 +884,40 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
                 f4 = jnp.tanh(prev_cho * 0.1)
                 f5 = jnp.tanh((ctrl_prev - ctrl_pprev) * 0.1)
                 f6 = jnp.tanh(iob * inv120b)
-                if cfg.nn_batched_mlp:
-                    # one batched trunk over all R rows: contract the
-                    # feature axis, lanes = patients, rows ride a batch dim
-                    obs_all = jnp.stack(
-                        [f1, f2, f3, f4, f5, f6, f7], axis=0
-                    )  # [7, R, 128]
-                    dn = (((1,), (0,)), ((), ()))
-                    h = jnp.maximum(
-                        jax.lax.dot_general(
-                            w1t, obs_all, dimension_numbers=dn,
-                            preferred_element_type=jnp.float32,
-                        ) + b1[:, :, None],
-                        0.0,
-                    )  # [H, R, 128]
-                    h = jnp.maximum(
-                        jax.lax.dot_general(
-                            w2t, h, dimension_numbers=dn,
-                            preferred_element_type=jnp.float32,
-                        ) + b2[:, :, None],
-                        0.0,
-                    )
-                    mu = jnp.sum(h * wmu[:, :, None], axis=0) + bmu_s  # [R,128]
+                feats = (f1, f2, f3, f4, f5, f6, f7)
+                if emit:
+                    # learner rows 0-6: the featurized observation itself
+                    for j in range(7):
+                        lrn_out[j, i_step] = feats[j]
                 else:
-                    # [H,7]@[7,128] + [H,H]@[H,128] MXU pair per sublane
-                    # row (lanes = patients, sublanes = hidden units)
-                    mu_rows = []
-                    for r in range(R):
-                        obs_r = jnp.stack(
-                            [f1[r], f2[r], f3[r], f4[r], f5[r], f6[r], f7[r]],
-                            axis=0,
-                        )  # [7, 128]
-                        h = jnp.maximum(
-                            jnp.dot(
-                                w1t, obs_r, preferred_element_type=jnp.float32
-                            ) + b1,
-                            0.0,
-                        )
-                        h = jnp.maximum(
-                            jnp.dot(
-                                w2t, h, preferred_element_type=jnp.float32
-                            ) + b2,
-                            0.0,
-                        )
-                        mu_rows.append(jnp.sum(h * wmu, axis=0, keepdims=True))
-                    mu = jnp.concatenate(mu_rows, axis=0) + bmu_s  # [R, 128]
+                    # record the controller's observation inputs (the
+                    # learner reconstructs featurize() from these to
+                    # recompute logp/value outside the kernel)
+                    octrl_out[i_step] = ctrl_prev
+                    oins_out[i_step] = ins_prev
+                    ocho_out[i_step] = prev_cho
+                    oprev_out[i_step] = ctrl_pprev
+                    oiob_out[i_step] = iob
+                mu, v = nn_forward(feats)
+                if emit:
+                    # row 7 = value (nulled in the learner's forward by the
+                    # zero-padded w1 column; its grad column is discarded)
+                    lrn_out[7, i_step] = v
                 if cfg.deterministic or not cfg.nn_sample_actions:
                     raw = mu  # policy-mean actions (deployment/eval mode)
                 else:
                     if i_step % 2 == 0:
                         za_pair = _normal_pair(rng, shape)
                     raw = mu + sigma_s * za_pair[i_step % 2]
-                raw_out[i_step] = raw
+                if emit:
+                    lrn_out[8, i_step] = raw
+                    # row 9 = behavior log-prob (rl/policy.gaussian_logprob)
+                    z_lp = (raw - mu) * inv_sigma
+                    lrn_out[9, i_step] = (
+                        -0.5 * z_lp * z_lp - log_std_s - 0.5 * _LOG_2PI
+                    )
+                else:
+                    raw_out[i_step] = raw
                 # squashed Gaussian -> basal (rl/policy.py sample_action),
                 # then pump quantization (actuator/pump.py:32-39)
                 basal_cmd = cfg.nn_action_scale / (1.0 + jnp.exp(-raw))
@@ -1108,7 +1171,23 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
                 lat_next = keep_i * lat_next + done_i * 3
                 n_samp = keep_i * n_samp
 
-        if nn:
+        if emit:
+            # bootstrap VALUE: the GAE tail value of the obs the NEXT step
+            # would act on, computed in-kernel (rst row 2)
+            @pl.when(t == n_tchunks - 1)
+            def _tail_value():
+                tf = (
+                    ctrl_prev * (1.0 / 400.0),
+                    (ctrl_prev - 140.0) * 0.01,
+                    jnp.tanh(ins_prev * inv3b),
+                    jnp.tanh(prev_cho * 0.1),
+                    jnp.tanh((ctrl_prev - ctrl_pprev) * 0.1),
+                    jnp.tanh(iob * inv120b),
+                    f7,
+                )
+                _, v_tail = nn_forward(tf)
+                rst_out[2] = v_tail
+        elif nn:
             # bootstrap row: the obs the NEXT step would act on, for the
             # learner's GAE tail value (rst rows 2..4)
             @pl.when(t == n_tchunks - 1)
@@ -1220,7 +1299,10 @@ def make_pallas_rollout(cfg: PallasRolloutConfig, batch: int, interpret: bool = 
     TC = cfg.t_chunk
 
     nn = cfg.controller == "nn"
-    n_rst = 7 if nn else 2
+    emit = nn and cfg.nn_emit_learner_rows
+    if cfg.nn_emit_learner_rows and not nn:
+        raise ValueError("nn_emit_learner_rows requires controller='nn'")
+    n_rst = 3 if emit else (7 if nn else 2)
     out_field = jax.ShapeDtypeStruct((cfg.n_steps, rows, LANES), jnp.float32)
     traj_spec = pl.BlockSpec(
         (TC, R, LANES), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM
@@ -1268,9 +1350,23 @@ def make_pallas_rollout(cfg: PallasRolloutConfig, batch: int, interpret: bool = 
     if cfg.persistent_state:
         in_specs += [state_f_spec, state_i_spec]
 
-    n_traj = 12 if nn else 6
-    out_shape = [out_field] * n_traj + [rst_field]
-    out_specs = [traj_spec] * n_traj + [rst_spec]
+    if emit:
+        # ONE [10, T, rows, 128] learner-row buffer instead of the six
+        # observation planes: rows 0-6 features, 7 value, 8 raw, 9 logp
+        # (see PallasRolloutConfig.nn_emit_learner_rows)
+        lrn_field = jax.ShapeDtypeStruct(
+            (10, cfg.n_steps, rows, LANES), jnp.float32
+        )
+        lrn_spec = pl.BlockSpec(
+            (10, TC, R, LANES), lambda b, t: (0, t, b, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = [out_field] * 6 + [lrn_field] + [rst_field]
+        out_specs = [traj_spec] * 6 + [lrn_spec] + [rst_spec]
+    else:
+        n_traj = 12 if nn else 6
+        out_shape = [out_field] * n_traj + [rst_field]
+        out_specs = [traj_spec] * n_traj + [rst_spec]
     scratch = []
     if cfg.persistent_state:
         out_shape += [state_f_field, state_i_field]
@@ -1281,6 +1377,14 @@ def make_pallas_rollout(cfg: PallasRolloutConfig, batch: int, interpret: bool = 
             pltpu.VMEM((NS_I, R, LANES), jnp.int32),
         ]
 
+    # The 'nn' configs sit within ~1 MB of the default 16 MB scoped-VMEM
+    # budget (12-13 output planes + state + params + double buffering);
+    # raise Mosaic's limit so the t_chunk=16 pipeline keeps its depth —
+    # v5e VMEM is far larger than the 16 MB default scoped cap.
+    compiler_params = (
+        pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+        if nn else None
+    )
     call = pl.pallas_call(
         kernel,
         grid=(n_blocks, n_tchunks),
@@ -1288,6 +1392,7 @@ def make_pallas_rollout(cfg: PallasRolloutConfig, batch: int, interpret: bool = 
         out_shape=out_shape,
         out_specs=out_specs,
         scratch_shapes=scratch,
+        compiler_params=compiler_params,
         interpret=interpret,
     )
 
@@ -1319,7 +1424,8 @@ def make_pallas_rollout(cfg: PallasRolloutConfig, batch: int, interpret: bool = 
                                  "(pack_policy_weights)")
             w = jnp.asarray(weights, jnp.float32)
             args.append(w)
-            args.append(w[0:2, 9])  # (b_mu, log_std) -> SMEM scalars
+            # (b_mu, log_std[, b_v]) -> SMEM scalars
+            args.append(w[0:3, 9] if emit else w[0:2, 9])
         if cfg.exogenous_noise:
             if reset_noise is None or step_noise is None:
                 raise ValueError(
@@ -1349,7 +1455,15 @@ def make_pallas_rollout(cfg: PallasRolloutConfig, batch: int, interpret: bool = 
             "CHO": unb(cho),
             "insulin": unb(ins),
         }
-        if nn:
+        if emit:
+            lrn = outs[k]
+            k += 1
+            # [10, T, rows, 128] -> the learner's feature-major [10, T*B]
+            # buffer (column index = t*B + b, exactly pack_minibatch_rows'
+            # row-major flattening) + a [T, B] view of the value row
+            res["learner"] = lrn.reshape(10, cfg.n_steps * batch)
+            res["value"] = lrn[7].reshape(cfg.n_steps, batch)
+        elif nn:
             res["raw"] = unb(outs[k])
             res["octrl"] = unb(outs[k + 1])
             res["oins"] = unb(outs[k + 2])
@@ -1361,7 +1475,10 @@ def make_pallas_rollout(cfg: PallasRolloutConfig, batch: int, interpret: bool = 
         k += 1
         res["BG0"] = rst[0].reshape(batch)
         res["CGM0"] = rst[1].reshape(batch)
-        if nn:
+        if emit:
+            # in-kernel bootstrap value (GAE tail)
+            res["tail_value"] = rst[2].reshape(batch)
+        elif nn:
             # tail observation inputs (bootstrap value for GAE)
             res["tail_octrl"] = rst[2].reshape(batch)
             res["tail_oins"] = rst[3].reshape(batch)
@@ -1414,6 +1531,13 @@ def make_sharded_pallas_rollout(
         raise ValueError(
             f"global batch {batch} must divide into {n_dev} devices x "
             f"{LANES} lanes"
+        )
+    if cfg.nn_emit_learner_rows:
+        raise ValueError(
+            "nn_emit_learner_rows is the single-device fused-learner fast "
+            "path (the [10, T*B] buffer's flat column index interleaves "
+            "the batch axis); the mesh trainer uses the XLA learner with "
+            "the observation-plane outputs (rl/fused.py kernel_prep=False)"
         )
     per = batch // n_dev
     inner = make_pallas_rollout(cfg, per, interpret=interpret)

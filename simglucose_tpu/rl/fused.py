@@ -47,7 +47,7 @@ from simglucose_tpu.rl.policy import (
     policy_apply,
 )
 from simglucose_tpu.rl.ppo import PPOConfig, Transition, _gae, _update, \
-    make_optimizer
+    _update_packed, make_optimizer
 
 
 class FusedTrainState(NamedTuple):
@@ -108,6 +108,7 @@ def make_fused_train_step(
     continuing: bool = False,
     reward_fn=None,
     stages: str = "full",
+    kernel_prep: Optional[bool] = None,
 ):
     """Build the fused PPO iteration: pallas actor + XLA learner.
 
@@ -145,13 +146,35 @@ def make_fused_train_step(
 
     ``stages`` truncates the iteration for device-time profiling
     (tools/profile_fused_ppo.py): 'rollout' = kernel + state carry only;
-    'forward' = + featurize / logp-value forwards / GAE (no update);
-    'full' (default) = the real training step.  Non-'full' stages keep
-    params/opt_state unchanged.
+    'forward' = + GAE (kernel-prep) or + featurize / logp-value forwards /
+    GAE (plane prep), no update; 'full' (default) = the real training
+    step.  Non-'full' stages keep params/opt_state unchanged.
+
+    ``kernel_prep`` — emit the learner's feature-major buffer DIRECTLY
+    from the rollout kernel (``nn_emit_learner_rows``: obs rows + value +
+    raw + logp computed in-kernel, bootstrap value included) and feed the
+    fused grad-step kernel straight from it — the entire XLA prep stage
+    (featurize + forwards + pack) disappears; only GAE (a [T, B]
+    associative scan) and the [2, N] adv/ret pack remain between the two
+    kernels (VERDICT r4 item 1).  Defaults to True exactly when eligible:
+    single device (no mesh) with ``cfg.pallas_learner`` in (True, 'step').
+    The mesh trainer and the 'epoch' learner keep the observation-plane
+    path.
     """
     if stages not in ("rollout", "forward", "full"):
         raise ValueError(f"stages must be rollout|forward|full; got {stages!r}")
     from simglucose_tpu.ops.pallas_rollout import config_for_sensor
+
+    prep_eligible = mesh is None and cfg.pallas_learner in (True, "step")
+    if kernel_prep is None:
+        kernel_prep = prep_eligible
+    elif kernel_prep and not prep_eligible:
+        raise ValueError(
+            "kernel_prep=True needs the single-device pallas 'step' "
+            "learner (mesh=None, PPOConfig.pallas_learner in (True, "
+            "'step')) — the mesh trainer and the 'epoch' learner use the "
+            "observation-plane prep"
+        )
 
     over = dict(
         controller="nn",
@@ -163,11 +186,17 @@ def make_fused_train_step(
         prng="hw" if not interpret else "sw",
         reward_kind=reward_kind,
         autoreset=not continuing,
+        nn_emit_learner_rows=kernel_prep,
         # the nn config carries 10 trajectory planes + state in/out in
-        # VMEM; the default t_chunk=32 lands ~30KB over the 16MB budget.
-        # Must divide rollout_steps: pick the largest divisor <= 16.
+        # VMEM; the default t_chunk=32 lands ~30KB over the 16MB budget
+        # (and the emit-mode learner buffer adds another ~40% of block
+        # VMEM — cap its chunk at 8).  Must divide rollout_steps: pick the
+        # largest divisor <= the cap.
         t_chunk=max(
-            c for c in range(1, min(16, cfg.rollout_steps) + 1)
+            c
+            for c in range(
+                1, min(8 if kernel_prep else 16, cfg.rollout_steps) + 1
+            )
             if cfg.rollout_steps % c == 0
         ),
     )
@@ -207,6 +236,62 @@ def make_fused_train_step(
             }
             return ts._replace(
                 state_f=state_f, state_i=state_i, init=jnp.int32(0), key=key
+            ), metrics
+        if kernel_prep:
+            # the rollout kernel already emitted the learner buffer (obs
+            # rows + value + raw + logp) AND the bootstrap value — only
+            # GAE and the [2, N] adv/ret pack remain before the learner
+            value = traj["value"]  # [T, B]
+            done = traj["done"]
+            base_reward = (
+                traj["reward"] if reward_fn is None else reward_fn(traj)
+            )
+            reward = base_reward - cfg.done_penalty * done.astype(value.dtype)
+            gae_done = jnp.zeros_like(done) if continuing else done
+            # _gae reads only value/reward/done; the other Transition
+            # fields are unused placeholders
+            tr = Transition(
+                obs=value, raw_action=value, logp=value,
+                value=value, reward=reward, done=gae_done,
+            )
+            advs, rets = _gae(cfg, tr, traj["tail_value"])
+            state_f, state_i = jax.lax.optimization_barrier(
+                (traj["state_f"], traj["state_i"])
+            )
+            if stages == "forward":
+                metrics = {
+                    "reward_mean": reward.mean(),
+                    "done_frac": done.mean(),
+                    # keep the GAE outputs live so XLA can't DCE them
+                    "adv_mean": advs.mean(),
+                    "ret_mean": rets.mean(),
+                    "logp_mean": traj["learner"][9].mean(),
+                }
+                return ts._replace(
+                    state_f=state_f, state_i=state_i, init=jnp.int32(0),
+                    key=key,
+                ), metrics
+            advret = jnp.stack(
+                [advs.reshape(-1), rets.reshape(-1)]
+            )  # [2, N]
+            params, opt_state, key, aux = _update_packed(
+                cfg, opt, ts.params, ts.opt_state, traj["learner"],
+                advret, key, interpret=interpret,
+            )
+            metrics = {
+                "reward_mean": reward.mean(),
+                "done_frac": done.mean(),
+                "pg_loss": aux[0].mean(),
+                "v_loss": aux[1].mean(),
+                "entropy": aux[2].mean(),
+            }
+            return FusedTrainState(
+                params=params,
+                opt_state=opt_state,
+                state_f=state_f,
+                state_i=state_i,
+                init=jnp.int32(0),
+                key=key,
             ), metrics
         # recompute logp/value at the rollout params in one batched forward
         basal = packed_basal(packed_params)  # [B], static per patient

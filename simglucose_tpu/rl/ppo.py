@@ -487,6 +487,119 @@ def _epoch_kernel_update(
     return new_params, new_opt_state, key, aux3
 
 
+def _gradout_to_grads(cfg: PPOConfig, params, out, mb_size):
+    """PPOGradOut (the fused grad-step kernel's sums) -> (PolicyParams-
+    shaped grads with the entropy term folded into log_std, aux loss
+    triple).  Shared by the 12-row single-buffer learner path and the
+    two-buffer kernel-prep path."""
+    import dataclasses as _dc
+    import math as _math
+
+    ent_const = 0.5 * _math.log(2 * _math.pi * _math.e)
+    grads = _dc.replace(
+        params,
+        w1=out.dw1,
+        b1=out.db1,
+        w2=out.dw2,
+        b2=out.db2,
+        w_mu=out.dw_head[:, 0:1],
+        b_mu=out.db_head[0:1],
+        w_v=out.dw_head[:, 1:2],
+        b_v=out.db_head[1:2],
+        log_std=(out.dlog_std - cfg.ent_coef).reshape(1),
+    )
+    aux = (
+        out.pg_sum / mb_size,
+        out.v_sum / mb_size,
+        params.log_std[0] + ent_const,
+    )
+    return grads, aux
+
+
+def _shuffle_blocking(cfg: PPOConfig, N: int):
+    """(block_rows, n_blocks, mb_size): the block-granular shuffle layout
+    for an N-row buffer (see PPOConfig.shuffle_block) — one definition for
+    every learner path."""
+    mb_size = N // cfg.minibatches
+    # keep >=256 blocks so small (CI-scale) runs still mix well; at bench
+    # scale (N=524288) this is the full 512-row block size
+    bs = max(1, min(cfg.shuffle_block, N // 256))
+    while mb_size % bs:
+        bs //= 2
+    return bs, N // bs, mb_size
+
+
+def _update_packed(
+    cfg: PPOConfig,
+    opt,
+    params: PolicyParams,
+    opt_state,
+    main_fm: jnp.ndarray,  # [10, N] the rollout kernel's learner buffer
+    advret_fm: jnp.ndarray,  # [2, N] (adv, ret) from GAE
+    key: jax.Array,
+    interpret: bool = False,
+):
+    """The PPO learner over the rollout kernel's emit-mode buffers
+    (``nn_emit_learner_rows``): same epochs x minibatches x block-granular
+    shuffle as :func:`_update`, but the minibatch grad step consumes the
+    [10, N] buffer EXACTLY as the rollout kernel wrote it plus the [2, N]
+    adv/ret companion — no featurize / forward / repack stage in between
+    (ops/pallas_ppo_learner.ppo_grad_step_gather2).  Single-device
+    pallas-learner path only."""
+    from simglucose_tpu.ops.pallas_ppo_learner import ppo_grad_step_gather2
+
+    N = main_fm.shape[1]
+    bs, n_blocks, mb_size = _shuffle_blocking(cfg, N)
+    bpm = n_blocks // cfg.minibatches
+    adv_b = advret_fm[0].reshape(n_blocks, bs)
+    adv_bsum = adv_b.sum(axis=1)
+    adv_bsq = (adv_b * adv_b).sum(axis=1)
+    cdt = jnp.bfloat16 if cfg.learner_bf16 else jnp.float32
+
+    def epoch(carry, _):
+        params, opt_state, key = carry
+        key, k_perm = jax.random.split(key)
+        perm = jax.random.permutation(k_perm, n_blocks)
+
+        def minibatch(carry, i):
+            params, opt_state = carry
+            perm_mb = jax.lax.dynamic_slice_in_dim(perm, i * bpm, bpm)
+            s1 = adv_bsum[perm_mb].sum()
+            s2 = adv_bsq[perm_mb].sum()
+            mean = s1 / mb_size
+            std = jnp.sqrt(jnp.maximum(s2 / mb_size - mean * mean, 0.0))
+            out = ppo_grad_step_gather2(
+                main_fm,
+                advret_fm,
+                perm_mb,
+                bs,
+                params.w1, params.b1, params.w2, params.b2,
+                jnp.concatenate([params.w_mu, params.w_v], axis=1),
+                jnp.concatenate([params.b_mu, params.b_v]),
+                params.log_std[0],
+                mean, std,
+                act=params.act,
+                clip_eps=cfg.clip_eps,
+                vf_coef=cfg.vf_coef,
+                compute_dtype=cdt,
+                interpret=interpret,
+            )
+            grads, aux = _gradout_to_grads(cfg, params, out, mb_size)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), aux
+
+        (params, opt_state), aux = jax.lax.scan(
+            minibatch, (params, opt_state), jnp.arange(cfg.minibatches)
+        )
+        return (params, opt_state, key), aux
+
+    (params, opt_state, key), aux = jax.lax.scan(
+        epoch, (params, opt_state, key), None, length=cfg.epochs
+    )
+    return params, opt_state, key, aux
+
+
 def _update(
     cfg: PPOConfig,
     opt,
@@ -517,13 +630,7 @@ def _update(
     N = T * B
     obs_dim = traj.obs.shape[-1]
     use_pallas = bool(cfg.pallas_learner) and mesh is None
-    mb_size = N // cfg.minibatches
-    # keep >=256 blocks so small (CI-scale) runs still mix well; at bench
-    # scale (N=524288) this is the full 512-row block size
-    bs = max(1, min(cfg.shuffle_block, N // 256))
-    while mb_size % bs:
-        bs //= 2
-    n_blocks = N // bs
+    bs, n_blocks, mb_size = _shuffle_blocking(cfg, N)
 
     if use_pallas:
         from simglucose_tpu.ops.pallas_ppo_learner import (
@@ -550,10 +657,7 @@ def _update(
                 cfg, params, opt_state, packed, adv_bsum, adv_bsq,
                 n_blocks, bs, mb_size, key, interpret,
             )
-        import math as _math
-
         cdt = jnp.bfloat16 if cfg.learner_bf16 else jnp.float32
-        ent_const = 0.5 * _math.log(2 * _math.pi * _math.e)
     else:
         packed = jnp.concatenate(
             [
@@ -577,8 +681,6 @@ def _update(
         def minibatch(carry, i):
             params, opt_state = carry
             if use_pallas:
-                import dataclasses as _dc
-
                 perm_mb = jax.lax.dynamic_slice_in_dim(perm, i * bpm, bpm)
                 s1 = adv_bsum[perm_mb].sum()
                 s2 = adv_bsq[perm_mb].sum()
@@ -599,23 +701,7 @@ def _update(
                     compute_dtype=cdt,
                     interpret=interpret,
                 )
-                grads = _dc.replace(
-                    params,
-                    w1=out.dw1,
-                    b1=out.db1,
-                    w2=out.dw2,
-                    b2=out.db2,
-                    w_mu=out.dw_head[:, 0:1],
-                    b_mu=out.db_head[0:1],
-                    w_v=out.dw_head[:, 1:2],
-                    b_v=out.db_head[1:2],
-                    log_std=(out.dlog_std - cfg.ent_coef).reshape(1),
-                )
-                aux = (
-                    out.pg_sum / mb_size,
-                    out.v_sum / mb_size,
-                    params.log_std[0] + ent_const,
-                )
+                grads, aux = _gradout_to_grads(cfg, params, out, mb_size)
             else:
                 rows = jax.lax.dynamic_slice_in_dim(
                     shuffled, i * mb_size, mb_size

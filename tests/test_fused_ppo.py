@@ -441,3 +441,70 @@ def test_nn_batched_mlp_matches_per_row():
         np.testing.assert_allclose(
             np.asarray(t1[k]), np.asarray(t2[k]), rtol=1e-6, atol=1e-7
         )
+
+
+def test_kernel_prep_matches_plane_prep():
+    """VERDICT r4 item 1: the kernel-prep pipeline (learner rows — obs
+    features, value, raw, logp — emitted DIRECTLY by the rollout kernel,
+    two-buffer grad-step kernel, in-kernel bootstrap value) must produce
+    the same training iteration as the round-4 plane-prep pipeline
+    (observation planes + XLA featurize/forwards/pack).  Same seed ->
+    identical rollouts (the value head adds no RNG draws), same shuffle key
+    chain -> same minibatches; params match to float-accumulation
+    tolerance."""
+    import dataclasses as _dc
+
+    from simglucose_tpu.rl.fused import (
+        init_fused_state,
+        make_fused_train_step,
+    )
+    from simglucose_tpu.rl.ppo import PPOConfig, make_optimizer
+
+    names = cohort_names(B)
+    _, params = make_env(names, batch=True, dtype=np.float32)
+    packed = pack_params(params.patient, basal_rate(params.patient))
+    policy = _policy(1)
+    cfg = PPOConfig(
+        rollout_steps=4, epochs=1, minibatches=2, pallas_learner="step"
+    )
+    over = dict(block_rows=1, t_chunk=2)
+    ts0 = init_fused_state(
+        policy, make_optimizer(cfg).init(policy), B, jax.random.PRNGKey(0)
+    )
+
+    step_plane = make_fused_train_step(
+        cfg, B, hidden=H, interpret=True, pallas_overrides=over,
+        kernel_prep=False,
+    )
+    step_prep = make_fused_train_step(
+        cfg, B, hidden=H, interpret=True, pallas_overrides=over,
+        kernel_prep=True,
+    )
+    ts_a, m_a = step_plane(packed, ts0)
+    ts_b, m_b = step_prep(packed, ts0)
+
+    # identical rollouts -> identical trajectories/metrics
+    np.testing.assert_allclose(
+        float(m_a["reward_mean"]), float(m_b["reward_mean"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(m_a["done_frac"]), float(m_b["done_frac"]), rtol=0, atol=0
+    )
+    # same updates (in-kernel logp/value vs the XLA recompute differ by
+    # float-op ordering only)
+    for a, b in zip(jax.tree.leaves(ts_a.params), jax.tree.leaves(ts_b.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-5
+        )
+    # the simulator state carries identically (bit-exact: same draws)
+    np.testing.assert_array_equal(
+        np.asarray(ts_a.state_f), np.asarray(ts_b.state_f)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ts_a.state_i), np.asarray(ts_b.state_i)
+    )
+    # loss metrics agree
+    for k in ("pg_loss", "v_loss", "entropy"):
+        np.testing.assert_allclose(
+            float(m_a[k]), float(m_b[k]), rtol=1e-2, atol=1e-4
+        )

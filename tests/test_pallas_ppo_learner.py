@@ -210,3 +210,52 @@ def test_update_epoch_kernel_matches_xla_learner():
         np.testing.assert_allclose(
             np.asarray(aux_x[i]), np.asarray(aux_e[i]), rtol=2e-3, atol=1e-4
         )
+
+
+def test_gather2_matches_gather12():
+    """The two-buffer grad-step kernel (ppo_grad_step_gather2: the rollout
+    kernel's [10, N] learner buffer + a [2, N] adv/ret companion, shared
+    block index map) must produce exactly the gradients of the 12-row
+    single-buffer gather kernel on the same rows.  Row 7 carries the VALUE
+    plane in the two-buffer layout — the forward must null it via the
+    zero-padded w1 column."""
+    from simglucose_tpu.ops.pallas_ppo_learner import (
+        ppo_grad_step_gather,
+        ppo_grad_step_gather2,
+    )
+    from simglucose_tpu.rl.policy import gaussian_logprob, policy_apply
+
+    H, N, bs = 16, 512, 2
+    p = init_policy(jax.random.PRNGKey(0), hidden=H, act="relu")
+    obs, raw, _, adv, ret = _data(jax.random.PRNGKey(1), N)
+    mu, ls, v = policy_apply(p, obs)
+    logp = gaussian_logprob(mu, ls, raw)
+
+    packed12 = pack_minibatch_rows(obs, raw, logp, adv, ret)
+    main10 = jnp.concatenate(
+        [obs.T, v.reshape(1, N), raw.reshape(1, N), logp.reshape(1, N)],
+        axis=0,
+    )
+    advret = jnp.stack([adv, ret])
+    # an arbitrary half-the-blocks minibatch, out of order
+    perm = jnp.asarray(
+        np.random.default_rng(3).permutation(N // bs)[: (N // bs) // 2],
+        jnp.int32,
+    )
+    w_head = jnp.concatenate([p.w_mu, p.w_v], axis=1)
+    b_head = jnp.concatenate([p.b_mu, p.b_v])
+    am, asd = adv.mean(), adv.std()
+    kw = dict(act="relu", compute_dtype=jnp.float32, interpret=True)
+    out1 = ppo_grad_step_gather(
+        packed12, perm, bs, p.w1, p.b1, p.w2, p.b2, w_head, b_head,
+        p.log_std[0], am, asd, **kw,
+    )
+    out2 = ppo_grad_step_gather2(
+        main10, advret, perm, bs, p.w1, p.b1, p.w2, p.b2, w_head, b_head,
+        p.log_std[0], am, asd, **kw,
+    )
+    for f in out1._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(out1, f)), np.asarray(getattr(out2, f)),
+            rtol=1e-6, atol=1e-7, err_msg=f,
+        )

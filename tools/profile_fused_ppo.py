@@ -34,7 +34,7 @@ ITERS = 128
 HIDDEN = 64
 
 
-def build(cfg, stages="full"):
+def build(cfg, stages="full", **kw):
     from simglucose_tpu.rl.fused import init_fused_state, make_fused_train_loop
     from simglucose_tpu.rl.policy import init_policy
     from simglucose_tpu.rl.ppo import make_optimizer
@@ -46,7 +46,9 @@ def build(cfg, stages="full"):
     )
     ts = init_fused_state(policy, make_optimizer(cfg).init(policy), B, key)
     loop = jax.jit(
-        make_fused_train_loop(cfg, B, ITERS, hidden=HIDDEN, stages=stages),
+        make_fused_train_loop(
+            cfg, B, ITERS, hidden=HIDDEN, stages=stages, **kw
+        ),
         donate_argnums=(1,),
     )
     return loop, ts
@@ -79,34 +81,41 @@ def main():
     base = PPOConfig(rollout_steps=T, epochs=2, minibatches=4)
     rows = []
 
-    def run(tag, cfg, stages):
-        loop, ts = build(cfg, stages)
+    def run(tag, cfg, stages, **kw):
+        loop, ts = build(cfg, stages, **kw)
         ms = time_loop(loop, packed, ts)
         rows.append((tag, ms))
-        print(f"{tag:32s} {ms:7.3f} ms/iter "
+        print(f"{tag:40s} {ms:7.3f} ms/iter "
               f"({B * T / ms * 1e3 / 1e6:8.1f} M steps/s)", flush=True)
         return ms
+
+    pal = dataclasses.replace(base, pallas_learner=True, shuffle_block=2048)
 
     ms_roll = run("rollout (kernel only)", base, "rollout")
     ms_fwd = run("rollout+forward+GAE", base, "forward")
     ms_full = run("full (e=2, mb=4)", base, "full")
-    print(f"{'-> fwd+GAE':32s} {ms_fwd - ms_roll:7.3f} ms")
-    print(f"{'-> learner (8 grad steps)':32s} {ms_full - ms_fwd:7.3f} ms")
+    print(f"{'-> fwd+GAE':40s} {ms_fwd - ms_roll:7.3f} ms")
+    print(f"{'-> learner (8 grad steps)':40s} {ms_full - ms_fwd:7.3f} ms")
     run(
-        "full bf16 learner (e=2, mb=4)",
-        dataclasses.replace(base, learner_bf16=True),
-        "full",
+        "full pallas learner (plane prep)", pal, "full", kernel_prep=False
     )
-    run(
-        "full pallas learner f32",
-        dataclasses.replace(base, pallas_learner=True),
-        "full",
-    )
-    run(
-        "full pallas learner bf16",
-        dataclasses.replace(base, pallas_learner=True, learner_bf16=True),
-        "full",
-    )
+    # the kernel-prep pipeline (VERDICT r4 item 1): learner rows emitted by
+    # the rollout kernel; only GAE + adv/ret pack between the two kernels
+    ms_kroll = run("kprep rollout (emit rows)", pal, "rollout")
+    ms_kfwd = run("kprep rollout+GAE", pal, "forward")
+    ms_kfull = run("kprep full", pal, "full")
+    print(f"{'-> kprep GAE+pack':40s} {ms_kfwd - ms_kroll:7.3f} ms")
+    print(f"{'-> kprep learner (8 grad steps)':40s} "
+          f"{ms_kfull - ms_kfwd:7.3f} ms")
+    for tc in (4, 16):
+        try:
+            run(
+                f"kprep full t_chunk={tc}", pal, "full",
+                pallas_overrides=dict(t_chunk=tc),
+            )
+        except Exception as e:
+            print(f"kprep t_chunk={tc}: {type(e).__name__}: {e}"[:120],
+                  flush=True)
 
     if not quick:
         ms_e1 = run("full (e=1, mb=4)", dataclasses.replace(base, epochs=1), "full")
