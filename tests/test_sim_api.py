@@ -417,3 +417,34 @@ def test_simulate_pallas_chunked_long_horizon(monkeypatch):
         jumps = np.abs(np.diff(bg))
         assert jumps.max() < 25.0, jumps
     assert df.attrs["reward"].shape == (6, 2)
+
+
+def test_aot_cache_paths(monkeypatch, tmp_path):
+    """The AOT executable disk cache (VERDICT r4 item 3): key paths are
+    stable per config, the existence probe feeds the auto-engine, and
+    setting SIMGLUCOSE_TPU_AOT_CACHE='' disables the cache (measured
+    effect on TPU: fresh-process simulate() 202.6 s -> 12.4 s,
+    BASELINE.md round-5)."""
+    from simglucose_tpu.sim import engine as eng
+
+    cfg_p, padded, _, n_dev, _ = eng._pallas_cfg(
+        ["adolescent#001"], "Dexcom", "Insulet", "PID", 16, 0, False,
+        datetime(2018, 1, 1), None,
+    )
+    monkeypatch.setenv("SIMGLUCOSE_TPU_AOT_CACHE", str(tmp_path))
+    p1 = eng._aot_path(cfg_p, padded, n_dev)
+    assert p1 is not None and str(tmp_path) in p1
+    # stable key for the same config, different for a different one
+    assert p1 == eng._aot_path(cfg_p, padded, n_dev)
+    cfg_q, padded_q, _, n_dev_q, _ = eng._pallas_cfg(
+        ["adolescent#001"], "GuardianRT", "Insulet", "PID", 16, 0, False,
+        datetime(2018, 1, 1), None,
+    )
+    assert eng._aot_path(cfg_q, padded_q, n_dev_q) != p1
+    assert not eng._aot_payload_exists(cfg_p, padded, n_dev)
+    open(p1, "wb").close()
+    assert eng._aot_payload_exists(cfg_p, padded, n_dev)
+    # disabled cache
+    monkeypatch.setenv("SIMGLUCOSE_TPU_AOT_CACHE", "")
+    assert eng._aot_path(cfg_p, padded, n_dev) is None
+    assert not eng._aot_payload_exists(cfg_p, padded, n_dev)
