@@ -92,6 +92,55 @@ def _check_laws(stats):
     _assert_band("cho_per_day", stats["cho_per_day"], 160.0, 280.0)
 
 
+# Per-sensor invariant bands for the OTHER kernel sample-time configs
+# (VERDICT r4 item 4): sample_time changes the noise-lattice cadence
+# (ops/pallas_rollout.py — exactly where a hw-PRNG-only bug would hide),
+# so every bench run also law-gates short GuardianRT (st=5) and Navigator
+# (st=1) hw-PRNG rollouts.  Centers measured on v5e 2026-08-21 (B=1024,
+# T=576, PID, seeds 11/12): GuardianRT bg 207.0-207.7 / done 0.0141 /
+# resid 11.5 / cho 221; Navigator bg 194.6-195.4 / done 0.0022 /
+# resid 11.5 / cho 206-214.  Reference laws sensor/noise_gen.py:15-69.
+_SENSOR_GATE_BANDS = {
+    "GuardianRT": dict(
+        bg_mean=(175.0, 240.0), done_rate=(0.005, 0.030),
+        resid_std=(8.0, 15.0), cho_per_day=(160.0, 280.0),
+    ),
+    "Navigator": dict(
+        bg_mean=(165.0, 230.0), done_rate=(0.0005, 0.010),
+        resid_std=(8.0, 15.0), cho_per_day=(160.0, 280.0),
+    ),
+}
+
+
+def law_gate_other_sensors():
+    """Short on-TPU hw-PRNG rollouts at st=5 (GuardianRT) and st=1
+    (Navigator), gated against _SENSOR_GATE_BANDS.  Small shapes +
+    t_chunk=8 keep the extra compiles ~10 s each."""
+    from simglucose_tpu.envs.build import cohort_names, make_env
+    from simglucose_tpu.models.uva_padova import basal_rate
+    from simglucose_tpu.ops.pallas_rollout import (
+        config_for_sensor,
+        make_pallas_rollout,
+        pack_params,
+    )
+
+    Bs, T = 1024, 576
+    _, params = make_env(cohort_names(Bs), batch=True, dtype=np.float32)
+    packed = pack_params(params.patient, basal_rate(params.patient))
+    for sensor, bands in _SENSOR_GATE_BANDS.items():
+        cfg = config_for_sensor(
+            sensor, controller="pid", n_steps=T, block_rows=8, t_chunk=8
+        )
+        run = jax.jit(make_pallas_rollout(cfg, Bs))
+        traj = run(packed, 11)
+        stats = {
+            k: float(v)
+            for k, v in _law_stats(traj, cfg.sample_time).items()
+        }
+        for name, (lo, hi) in bands.items():
+            _assert_band(f"{sensor}.{name}", stats[name], lo, hi)
+
+
 def bench_pallas():
     """Fast path: full closed-loop simulator as one in-VMEM pallas kernel.
 
@@ -256,6 +305,10 @@ def main():
     except Exception:  # non-TPU backend, Mosaic unavailable, ...
         path = "xla"
         sps = bench_xla()
+    if path == "pallas":
+        # st=5 / st=1 kernel configs law-gated in the same process —
+        # a broken noise-lattice cadence fails the bench loudly
+        law_gate_other_sensors()
     out = {
         "metric": "env_steps_per_sec",
         "value": round(sps),
