@@ -84,8 +84,7 @@ class PPOConfig:
     # logp_old and the minibatch logp are recomputed by the same bf16
     # forward in the fused trainer.  Off by default (CI trains f32).
     learner_bf16: bool = False
-    # pallas learner modes (ops/pallas_ppo_learner.py), single-device
-    # learner only (mesh=None; under a mesh the XLA learner runs):
+    # pallas learner modes (ops/pallas_ppo_learner.py):
     #   True | 'step' — each minibatch grad step is ONE fused kernel
     #     (forward + clipped-surrogate loss + hand-derived backward over
     #     VMEM-resident row tiles, shuffle gathered via scalar-prefetched
@@ -94,6 +93,10 @@ class PPOConfig:
     #     clip, and adam update) is one kernel launch: weights + moments
     #     live in VMEM scratch across the grid, optax's exact math applied
     #     at minibatch boundaries.
+    # Under a pure-dp mesh the 'step' kernel runs per device inside
+    # shard_map with one gradient psum per minibatch (_update_pallas_dp);
+    # tp-sharded weights and the 'epoch' kernel fall back to the XLA
+    # learner under a mesh.
     # Gradient/update parity pinned by tests/test_pallas_ppo_learner.py.
     pallas_learner: Union[bool, str] = False
     # subtracted from the step reward when the episode terminates (BG<70 or
@@ -600,6 +603,134 @@ def _update_packed(
     return params, opt_state, key, aux
 
 
+def _update_pallas_dp(
+    cfg: PPOConfig,
+    opt,
+    params: PolicyParams,
+    opt_state,
+    traj: Transition,
+    advs: jnp.ndarray,
+    rets: jnp.ndarray,
+    key: jax.Array,
+    mesh: Mesh,
+    interpret: bool = False,
+):
+    """The fused grad-step learner kernel under a DATA-PARALLEL mesh
+    (``cfg.pallas_learner`` with ``mesh``): each device runs
+    ``ppo_grad_step_gather`` over its LOCAL rows inside ``shard_map`` and
+    the gradient/statistic sums ride one ``psum`` per minibatch — the
+    sharded-PPO-learner collective contract (BASELINE config 5) with the
+    kernel learner instead of the XLA one.
+
+    Law note vs the single-device learner: the block-granular shuffle
+    permutes each device's LOCAL blocks (same replicated key -> same
+    permutation indices on every device), so a minibatch is the union of
+    per-device block draws rather than one global draw.  Advantage
+    mean/std and the loss means are computed over the GLOBAL minibatch
+    via psum, and every device applies the identical optimizer update —
+    post-update params are bit-identical across hosts
+    (tests/test_multihost_multiprocess.py)."""
+    import dataclasses as _dc
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from simglucose_tpu.ops.pallas_ppo_learner import (
+        pack_minibatch_rows,
+        ppo_grad_step_gather,
+    )
+
+    axis = "dp"
+    ndev = mesh.shape[axis]
+    T, B = traj.reward.shape
+    Bl = B // ndev
+    Nl = T * Bl
+    obs_dim = traj.obs.shape[-1]
+    bs, n_blocks, mb_size_l = _shuffle_blocking(cfg, Nl)
+    bpm = n_blocks // cfg.minibatches
+    mb_global = mb_size_l * ndev
+    cdt = jnp.bfloat16 if cfg.learner_bf16 else jnp.float32
+
+    def local_update(params, opt_state, key, obs, raw, logp, advs, rets):
+        # local shapes: [T, Bl, ...]; params/opt_state/key replicated
+        packed = pack_minibatch_rows(
+            obs.reshape(Nl, obs_dim),
+            raw.reshape(Nl),
+            logp.reshape(Nl),
+            advs.reshape(Nl),
+            rets.reshape(Nl),
+        )
+        adv_b = advs.reshape(n_blocks, bs)
+        adv_bsum = adv_b.sum(axis=1)
+        adv_bsq = (adv_b * adv_b).sum(axis=1)
+
+        def epoch(carry, _):
+            params, opt_state, key = carry
+            key, k_perm = jax.random.split(key)
+            perm = jax.random.permutation(k_perm, n_blocks)
+
+            def minibatch(carry, i):
+                params, opt_state = carry
+                perm_mb = jax.lax.dynamic_slice_in_dim(perm, i * bpm, bpm)
+                # GLOBAL minibatch advantage stats: one psum of the
+                # local block sums
+                s1 = jax.lax.psum(adv_bsum[perm_mb].sum(), axis)
+                s2 = jax.lax.psum(adv_bsq[perm_mb].sum(), axis)
+                mean = s1 / mb_global
+                std = jnp.sqrt(
+                    jnp.maximum(s2 / mb_global - mean * mean, 0.0)
+                )
+                out = ppo_grad_step_gather(
+                    packed,
+                    perm_mb,
+                    bs,
+                    params.w1, params.b1, params.w2, params.b2,
+                    jnp.concatenate([params.w_mu, params.w_v], axis=1),
+                    jnp.concatenate([params.b_mu, params.b_v]),
+                    params.log_std[0],
+                    mean, std,
+                    act=params.act,
+                    clip_eps=cfg.clip_eps,
+                    vf_coef=cfg.vf_coef,
+                    compute_dtype=cdt,
+                    interpret=interpret,
+                    # the kernel's 1/N loss scaling uses the GLOBAL row
+                    # count so psum of per-device grads IS the global mean
+                    loss_rows=mb_global,
+                )
+                out = jax.tree.map(lambda g: jax.lax.psum(g, axis), out)
+                grads, aux = _gradout_to_grads(cfg, params, out, mb_global)
+                updates, opt_state = opt.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), aux
+
+            (params, opt_state), aux = jax.lax.scan(
+                minibatch, (params, opt_state), jnp.arange(cfg.minibatches)
+            )
+            return (params, opt_state, key), aux
+
+        (params, opt_state, key), aux = jax.lax.scan(
+            epoch, (params, opt_state, key), None, length=cfg.epochs
+        )
+        return params, opt_state, key, aux
+
+    rep = P()
+    shard_tb = P(None, axis)
+    shard_obs = P(None, axis, None)
+    fn = shard_map(
+        local_update,
+        mesh=mesh,
+        in_specs=(rep, rep, rep, shard_obs, shard_tb, shard_tb, shard_tb,
+                  shard_tb),
+        out_specs=(rep, rep, rep, rep),
+        check_vma=False,
+    )
+    return fn(
+        params, opt_state, key,
+        traj.obs, traj.raw_action, traj.logp, advs, rets,
+    )
+
+
 def _update(
     cfg: PPOConfig,
     opt,
@@ -629,6 +760,21 @@ def _update(
     T, B = traj.reward.shape
     N = T * B
     obs_dim = traj.obs.shape[-1]
+    if (
+        bool(cfg.pallas_learner)
+        and mesh is not None
+        and cfg.pallas_learner != "epoch"
+        and "dp" in mesh.axis_names
+        and ("tp" not in mesh.axis_names or mesh.shape["tp"] == 1)
+        and B % mesh.shape["dp"] == 0
+    ):
+        # the kernel learner under a data-parallel mesh: per-device grad
+        # kernels + one psum per minibatch (tp-sharded weights stay on
+        # the XLA learner)
+        return _update_pallas_dp(
+            cfg, opt, params, opt_state, traj, advs, rets, key, mesh,
+            interpret,
+        )
     use_pallas = bool(cfg.pallas_learner) and mesh is None
     bs, n_blocks, mb_size = _shuffle_blocking(cfg, N)
 

@@ -168,7 +168,7 @@ WORKER_FUSED = textwrap.dedent(
     from simglucose_tpu.rl.ppo import PPOConfig, make_optimizer
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    B = 1024  # 128 patients (1 lane row) per device
+    B = 4096  # 512 patients (4 lane rows) per device = 2048 per HOST
     key = jax.random.PRNGKey(0)
     mesh = make_mesh(dp=8, tp=1)
     _, params = make_env(cohort_names(B), batch=True, dtype=np.float32)
@@ -176,7 +176,12 @@ WORKER_FUSED = textwrap.dedent(
         pack_params(params.patient, basal_rate(params.patient)),
         NamedSharding(mesh, P(None, "dp")),
     )
-    cfg = PPOConfig(rollout_steps=2, epochs=1, minibatches=2)
+    # pallas_learner under the dp mesh: the GRAD-STEP KERNEL runs per
+    # device inside shard_map and its gradient psum crosses the PROCESS
+    # boundary (rl/ppo._update_pallas_dp) — the fused-kernel trainer at a
+    # realistic per-host shard (VERDICT r4 item 5)
+    cfg = PPOConfig(rollout_steps=2, epochs=1, minibatches=2,
+                    pallas_learner="step")
     policy = init_policy(
         jax.random.fold_in(key, 1), hidden=8, init_mu_bias=-2.2, act="relu"
     )
@@ -205,6 +210,61 @@ WORKER_FUSED = textwrap.dedent(
         **{f"init_{i}": a for i, a in enumerate(init_leaves)},
     )
     print(f"fused proc {pid} OK", flush=True)
+    """
+)
+
+
+WORKER_SCALE = textwrap.dedent(
+    """
+    import os, sys
+    pid, nproc, port, outdir = (
+        int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+    )
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    from simglucose_tpu.parallel.multihost import initialize
+    initialize(f"127.0.0.1:{port}", num_processes=nproc, process_id=pid)
+    assert jax.process_count() == nproc and jax.device_count() == 8
+
+    import jax.numpy as jnp
+    import numpy as np
+    from simglucose_tpu.controllers.functional import pid_controller
+    from simglucose_tpu.envs.build import cohort_names, make_env
+    from simglucose_tpu.envs.rollout import (
+        batch_reset, broadcast_ctrl_state, make_batch_rollout_fn,
+    )
+    from simglucose_tpu.parallel.multihost import local_batch_slice, local_shard
+    from simglucose_tpu.parallel.sharding import make_mesh, shard_batch
+
+    # realistic per-host shard: 2048 patients per process (VERDICT r4
+    # item 5); short T keeps it inside the CI budget
+    B, T = 4096, 2
+    names = cohort_names(B)
+    cfg, params = make_env(names, batch=True, dtype=np.float32)
+    ctrl0, ctrl = pid_controller(cfg.sample_time, P=-1e-4, I=-1e-7)
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+
+    mesh = make_mesh(dp=8, tp=1)
+    params_s = shard_batch(params, mesh)
+    keys_s = shard_batch(keys, mesh)
+    state, res = jax.jit(lambda p, k: batch_reset(cfg, p, k))(params_s, keys_s)
+    cs = shard_batch(broadcast_ctrl_state(ctrl0, B), mesh)
+    run = make_batch_rollout_fn(cfg, ctrl, n_steps=T, donate=False)
+    _, _, traj = run(params_s, state, cs, res)
+
+    gmean = float(jax.jit(lambda t: jnp.mean(t.CGM))(traj))
+    sl = local_batch_slice(B)
+    local_bg = local_shard(traj).BG  # [T, B/2]
+    assert local_bg.shape[1] == B // nproc
+    np.savez(
+        os.path.join(outdir, f"scale{pid}.npz"),
+        BG=np.asarray(local_bg), lo=sl.start, hi=sl.stop, gmean=gmean,
+    )
+    print(f"scale proc {pid} OK", flush=True)
     """
 )
 
@@ -375,6 +435,69 @@ def test_two_process_sharded_rollout_matches_single_process(tmp_path):
         gmeans.append(float(z["gmean"]))
     np.testing.assert_array_equal(got, ref_bg)
     # the cross-process global reduction agrees between hosts and with ref
+    assert gmeans[0] == gmeans[1]
+    np.testing.assert_allclose(
+        gmeans[0], float(np.asarray(traj.CGM).mean()), rtol=1e-6
+    )
+
+
+def test_two_process_sharded_rollout_at_scale(tmp_path):
+    """Realistic per-host shard (VERDICT r4 item 5): 4096 patients over
+    the 2-process gloo mesh — 2048 lanes per process — with the shards
+    reassembling the exact single-process trace and the cross-process CGM
+    reduction agreeing between hosts and with the reference run."""
+    port = _free_port()
+    worker = tmp_path / "worker_scale.py"
+    worker.write_text(WORKER_SCALE)
+    outdir = tmp_path / "results"
+    outdir.mkdir()
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), "2", str(port), str(outdir)],
+            env=env,
+            cwd=REPO,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"scale worker failed:\n{out[-3000:]}"
+
+    import jax
+
+    from simglucose_tpu.controllers.functional import pid_controller
+    from simglucose_tpu.envs.build import cohort_names, make_env
+    from simglucose_tpu.envs.rollout import (
+        batch_reset,
+        broadcast_ctrl_state,
+        make_batch_rollout_fn,
+    )
+
+    B, T = 4096, 2
+    cfg, params = make_env(cohort_names(B), batch=True, dtype=np.float32)
+    ctrl0, ctrl = pid_controller(cfg.sample_time, P=-1e-4, I=-1e-7)
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    state, res = batch_reset(cfg, params, keys)
+    cs = broadcast_ctrl_state(ctrl0, B)
+    run = make_batch_rollout_fn(cfg, ctrl, n_steps=T, donate=False)
+    _, _, traj = run(params, state, cs, res)
+    ref_bg = np.asarray(traj.BG)
+
+    got = np.full_like(ref_bg, np.nan)
+    gmeans = []
+    for i in range(2):
+        z = np.load(outdir / f"scale{i}.npz")
+        assert int(z["hi"]) - int(z["lo"]) == B // 2  # 2048 lanes/process
+        got[:, int(z["lo"]) : int(z["hi"])] = z["BG"]
+        gmeans.append(float(z["gmean"]))
+    np.testing.assert_array_equal(got, ref_bg)
     assert gmeans[0] == gmeans[1]
     np.testing.assert_allclose(
         gmeans[0], float(np.asarray(traj.CGM).mean()), rtol=1e-6

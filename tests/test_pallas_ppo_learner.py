@@ -259,3 +259,67 @@ def test_gather2_matches_gather12():
             np.asarray(getattr(out1, f)), np.asarray(getattr(out2, f)),
             rtol=1e-6, atol=1e-7, err_msg=f,
         )
+
+
+def test_update_pallas_dp_mesh_matches_single_device():
+    """The data-parallel kernel learner (_update_pallas_dp: per-device
+    grad kernels inside shard_map + one psum per minibatch) must equal
+    the single-device kernel learner when the minibatch is the full batch
+    (epochs=1, minibatches=1 — no shuffle-partition difference), and its
+    params must come back replicated-identical across the mesh."""
+    from simglucose_tpu.parallel.sharding import make_mesh, shard_batch
+    from simglucose_tpu.rl.ppo import Transition, _update, make_optimizer
+
+    T, B, H = 2, 512, 16
+    N = T * B
+    cfg = PPOConfig(epochs=1, minibatches=1, pallas_learner="step")
+    params = init_policy(jax.random.PRNGKey(0), hidden=H, act="relu")
+    obs, raw, logp, adv, ret = _data(jax.random.PRNGKey(1), N)
+    key = jax.random.PRNGKey(2)
+    tr = Transition(
+        obs=obs.reshape(T, B, 7),
+        raw_action=raw.reshape(T, B),
+        logp=logp.reshape(T, B),
+        value=ret.reshape(T, B) * 0.1,
+        reward=adv.reshape(T, B),
+        done=jnp.zeros((T, B), bool),
+    )
+    advs = adv.reshape(T, B)
+    rets = ret.reshape(T, B)
+    opt = make_optimizer(cfg)
+    opt_state = opt.init(params)
+
+    p_1, _, _, aux_1 = _update(
+        cfg, opt, params, opt_state, tr, advs, rets, key, mesh=None,
+        interpret=True,
+    )
+
+    mesh = make_mesh(dp=8, tp=1)
+    tr_s = Transition(
+        obs=shard_batch(tr.obs.swapaxes(0, 1), mesh).swapaxes(0, 1),
+        raw_action=tr.raw_action,
+        logp=tr.logp,
+        value=tr.value,
+        reward=tr.reward,
+        done=tr.done,
+    )
+    p_8, _, _, aux_8 = _update(
+        cfg, opt, params, opt_state, tr_s, advs, rets, key, mesh=mesh,
+        interpret=True,
+    )
+    for a, b in zip(jax.tree.leaves(p_1), jax.tree.leaves(p_8)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6
+        )
+    np.testing.assert_allclose(
+        np.asarray(aux_1[0]), np.asarray(aux_8[0]), rtol=1e-4, atol=1e-6
+    )
+
+    # multi-minibatch dp run: finite, params move, still replicated
+    cfg2 = PPOConfig(epochs=2, minibatches=2, pallas_learner="step")
+    p_m, _, _, aux_m = _update(
+        cfg2, opt, params, opt_state, tr, advs, rets, key, mesh=mesh,
+        interpret=True,
+    )
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(p_m))
+    assert not np.allclose(np.asarray(p_m.w1), np.asarray(params.w1))
