@@ -32,7 +32,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 B = 8192
 HIDDEN = 64
-CKPT = os.path.join(
+CKPT = os.environ.get("PPO_CKPT") or os.path.join(
     os.path.dirname(__file__), "..", "examples", "checkpoints",
     "ppo_cohort_relu64.npz",
 )
@@ -81,8 +81,12 @@ def main():
     # the initial action AT ~1x basal — the clinically neutral start.
     scale = float(os.environ.get("PPO_ACTION_SCALE", 10.0))
     lam = float(os.environ.get("PPO_LAM", 0.98))
+    gamma = float(os.environ.get("PPO_GAMMA", 0.99))
+    hypo_w = float(os.environ.get("PPO_HYPO_W", 3.0))
+    barrier_w = float(os.environ.get("PPO_BARRIER", 0.15))
     cfg = PPOConfig(
         rollout_steps=64, epochs=2, minibatches=4, ent_coef=ent, lr=lr,
+        gamma=gamma,
         init_log_std=ils, action_scale=scale, scale_by_basal=True,
         # insulin acts with a 30-60 min lag (10-20 steps at Dexcom cadence):
         # gamma*lam must keep the hypo consequence of an overdose inside the
@@ -98,6 +102,12 @@ def main():
         init_log_std=cfg.init_log_std, init_mu_bias=-2.2,
         action_scale=cfg.action_scale, scale_by_basal=cfg.scale_by_basal,
     )
+    warm = os.environ.get("PPO_WARM_START")
+    if warm:
+        from simglucose_tpu.utils.checkpoint import restore_state
+
+        policy = restore_state(warm, like=policy)
+        print(f"warm start from {warm}", flush=True)
     ts = init_fused_state(policy, make_optimizer(cfg).init(policy), B, key)
     # CONTINUING-task training (rl/fused.py make_fused_train_step docs):
     # auto-reset off so a BG excursion keeps collecting its own bad rewards
@@ -117,8 +127,8 @@ def main():
         # floor is never the active constraint.
         cgm = traj["CGM"]
         lb, hb, _ = risk_scalar(cgm)
-        barrier = 0.15 * jnp.maximum(90.0 - cgm, 0.0)
-        return -jnp.minimum(hb + 3.0 * lb, 400.0) / 10.0 - barrier
+        barrier = barrier_w * jnp.maximum(90.0 - cgm, 0.0)
+        return -jnp.minimum(hb + hypo_w * lb, 400.0) / 10.0 - barrier
 
     loop = jax.jit(
         make_fused_train_loop(
