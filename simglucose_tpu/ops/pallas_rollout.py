@@ -103,6 +103,17 @@ class PallasRolloutConfig:
     # random meals, resets) — the deployment/evaluation mode of a trained
     # policy (rl/evaluate.policy_controller's law) at kernel speed.
     nn_sample_actions: bool = True
+    # nn_decoder='residual_bb': the policy MODULATES basal-bolus therapy
+    # instead of emitting an absolute rate — insulin = quantize(bb_cmd *
+    # exp(nn_action_scale * tanh(raw))) where bb_cmd is the per-patient
+    # basal + announced-meal/correction bolus from the Quest CR/CF planes
+    # (the same math as the 'bb' controller branch; reference
+    # basal_bolus_ctrller.py:34-80).  A zero-output policy IS BB therapy;
+    # bolus-sized doses are reachable (the absolute sigmoid decoder's
+    # ceiling caps them — BASELINE.md round-5).  pack_params MUST be given
+    # quest= for this config (the CR/CF planes default to ones otherwise).
+    # nn_scale_by_basal is ignored; nn_action_scale is the log-range.
+    nn_decoder: str = "sigmoid"
     # nn_batched_mlp=True: issue the policy trunk as ONE [H,7]x[7,R,128]
     # dot_general over all R sublane rows instead of R separate
     # [H,7]x[7,128] matmuls per step (VERDICT r3 item 5's MXU batching).
@@ -918,14 +929,38 @@ def _make_kernel(cfg: PallasRolloutConfig, n_blocks: int):
                     )
                 else:
                     raw_out[i_step] = raw
-                # squashed Gaussian -> basal (rl/policy.py sample_action),
-                # then pump quantization (actuator/pump.py:32-39)
-                basal_cmd = cfg.nn_action_scale / (1.0 + jnp.exp(-raw))
-                if cfg.nn_scale_by_basal:
-                    basal_cmd = basal_cmd * basal_rate_u
-                insulin = _quantize(
-                    basal_cmd, cfg.inc_basal, cfg.min_basal, cfg.max_basal
-                )
+                if cfg.nn_decoder == "residual_bb":
+                    # BB therapy command (reference basal_bolus_ctrller.py:
+                    # 34-80 — the same inputs as the kernel's 'bb' branch)
+                    # modulated multiplicatively by the policy within
+                    # [exp(-scale), exp(+scale)] (rl/policy.py PolicyParams
+                    # decoder='residual_bb'); the pump quantizes the FINAL
+                    # command, matching the eval-path controller + env pump
+                    glucose = ctrl_prev
+                    meal_ann = prev_cho
+                    bolus_u = (meal_ann * st) / quest_CR + (
+                        glucose > 150.0
+                    ).astype(jnp.float32) * (
+                        glucose - cfg.bb_target
+                    ) / quest_CF
+                    bolus_cmd = jnp.where(meal_ann > 0, bolus_u / st, 0.0)
+                    bb_cmd = basal_rate_u + bolus_cmd
+                    mod = jnp.exp(cfg.nn_action_scale * jnp.tanh(raw))
+                    insulin = _quantize(
+                        bb_cmd * mod, cfg.inc_basal, cfg.min_basal,
+                        cfg.max_basal,
+                    )
+                else:
+                    # squashed Gaussian -> basal (rl/policy.py
+                    # sample_action), then pump quantization
+                    # (actuator/pump.py:32-39)
+                    basal_cmd = cfg.nn_action_scale / (1.0 + jnp.exp(-raw))
+                    if cfg.nn_scale_by_basal:
+                        basal_cmd = basal_cmd * basal_rate_u
+                    insulin = _quantize(
+                        basal_cmd, cfg.inc_basal, cfg.min_basal,
+                        cfg.max_basal,
+                    )
                 # insulin-on-board update (rl/policy.py iob_step): decay,
                 # then add this step's dose
                 iob = iob * iob_decay + insulin * float(st)
@@ -1271,6 +1306,11 @@ def make_pallas_rollout(cfg: PallasRolloutConfig, batch: int, interpret: bool = 
         )
     if cfg.nn_hidden % 8:
         raise ValueError("nn_hidden must be a multiple of 8 (sublane tile)")
+    if cfg.nn_decoder not in ("sigmoid", "residual_bb"):
+        raise ValueError(
+            f"nn_decoder must be 'sigmoid' or 'residual_bb'; "
+            f"got {cfg.nn_decoder!r}"
+        )
     if cfg.scenario_kind not in ("random", "static"):
         raise ValueError(
             f"scenario_kind must be 'random' or 'static'; "

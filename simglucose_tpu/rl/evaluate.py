@@ -29,6 +29,8 @@ def policy_controller(
     action_scale: float = None,
     scale_by_basal: bool = None,
     sample_time: int = 3,
+    quest=None,
+    bb_target: float = 140.0,
 ):
     """Adapt a trained Gaussian-MLP policy into a functional controller
     (the deterministic/eval form: rate = sigmoid(mu) * scale, no sampling —
@@ -67,10 +69,25 @@ def policy_controller(
         action_scale = float(params.action_scale)
     if scale_by_basal is None:
         scale_by_basal = bool(params.scale_by_basal)
+    decoder = getattr(params, "decoder", "sigmoid")
     b_arr = jnp.asarray(basal)
+    if decoder == "residual_bb":
+        # the policy MODULATES basal-bolus therapy (PolicyParams.decoder
+        # docs): rate = bb_cmd * exp(scale * tanh(mu)) with bb_cmd the
+        # per-patient basal + announced-meal/correction bolus — needs the
+        # Quest CR/CF table (reference basal_bolus_ctrller.py:34-80)
+        if quest is None:
+            raise ValueError(
+                "decoder='residual_bb' params need quest= (per-patient "
+                "CR/CF arrays, e.g. load_quest_params(names))"
+            )
+        cr = jnp.asarray(quest.CR)
+        cf = jnp.asarray(quest.CF)
+    else:
+        cr = cf = jnp.zeros_like(b_arr)  # unused carry placeholder
 
     def policy(state, result):
-        b_u, cgm_prev, iob = state
+        b_u, cr_u, cf_u, cgm_prev, iob = state
         cgm = result.observation.CGM
         prev = jnp.where(cgm_prev < 0, cgm, cgm_prev)
         iob = iob_step(iob, result.insulin, sample_time)
@@ -78,14 +95,24 @@ def policy_controller(
             cgm, result.insulin, result.CHO, prev, iob, b_u
         )
         mu, _, _ = policy_apply(params, obs)
-        rate = jax.nn.sigmoid(mu) * action_scale
-        if scale_by_basal:
-            rate = rate * b_u
-        return (b_u, cgm, iob), CtrlAction(
+        if decoder == "residual_bb":
+            meal_ann = result.CHO
+            bolus_u = (meal_ann * sample_time) / cr_u + (
+                cgm > 150.0
+            ).astype(mu.dtype) * (cgm - bb_target) / cf_u
+            bolus = jnp.where(meal_ann > 0, bolus_u / sample_time, 0.0)
+            rate = (b_u + bolus) * jnp.exp(
+                action_scale * jnp.tanh(mu)
+            )
+        else:
+            rate = jax.nn.sigmoid(mu) * action_scale
+            if scale_by_basal:
+                rate = rate * b_u
+        return (b_u, cr_u, cf_u, cgm, iob), CtrlAction(
             basal=rate, bolus=jnp.zeros_like(rate)
         )
 
-    init = (b_arr, -jnp.ones_like(b_arr), jnp.zeros_like(b_arr))
+    init = (b_arr, cr, cf, -jnp.ones_like(b_arr), jnp.zeros_like(b_arr))
     return init, policy, 0
 
 

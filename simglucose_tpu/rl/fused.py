@@ -181,6 +181,7 @@ def make_fused_train_step(
         nn_hidden=hidden,
         nn_action_scale=cfg.action_scale,
         nn_scale_by_basal=cfg.scale_by_basal,
+        nn_decoder=cfg.decoder,
         n_steps=cfg.rollout_steps,
         persistent_state=True,
         prng="hw" if not interpret else "sw",
@@ -215,7 +216,7 @@ def make_fused_train_step(
 
         check_action_decoder(
             ts.params, cfg.action_scale, cfg.scale_by_basal,
-            "make_fused_train_step",
+            "make_fused_train_step", decoder=cfg.decoder,
         )
         key, k_seed = jax.random.split(ts.key)
         seed = jax.random.randint(k_seed, (), 0, 2**31 - 1, jnp.int32)

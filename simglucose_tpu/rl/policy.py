@@ -57,11 +57,25 @@ class PolicyParams:
     :func:`~simglucose_tpu.ops.pallas_rollout.pack_policy_weights` rejects
     anything else.
 
-    ``action_scale`` / ``scale_by_basal`` — the action DECODER (emitted
-    rate = ``sigmoid(mu) * action_scale [* patient_basal]``) — are static
-    metadata for the same reason: a network trained at one parameterization
-    deployed at another runs silently as a different controller.  The
-    trainers validate their config against the params
+    ``decoder`` / ``action_scale`` / ``scale_by_basal`` — the action
+    DECODER — are static metadata for the same reason: a network trained
+    at one parameterization deployed at another runs silently as a
+    different controller.  Two decoders exist:
+
+    * ``'sigmoid'`` (default): rate = ``sigmoid(raw) * action_scale
+      [* patient_basal]`` — an absolute-rate policy.
+    * ``'residual_bb'``: rate = ``bb_cmd * exp(action_scale * tanh(raw))``
+      where ``bb_cmd`` is the basal-bolus THERAPY command (per-patient
+      basal + announced-meal/correction bolus from the Quest CR/CF table,
+      reference basal_bolus_ctrller.py:34-80) — the policy multiplicatively
+      modulates the reference's own strongest controller within
+      ``[exp(-scale), exp(+scale)]``x.  A zero-output policy IS BB therapy,
+      so training starts at the clinical baseline instead of discovering
+      dosing from scratch, and bolus-sized doses are reachable (the
+      absolute decoder's ceiling caps meal boluses —
+      BASELINE.md round-5: BB clipped to 10x basal scores TIR 38% vs 86%).
+
+    The trainers validate their config against the params
     (rl/ppo.make_train_step, rl/fused.make_fused_train_step) and the deploy
     form (rl/evaluate.policy_controller) reads the decoder from the params
     by default."""
@@ -82,12 +96,16 @@ class PolicyParams:
     scale_by_basal: bool = dataclasses.field(
         default=False, metadata=dict(static=True)
     )
+    decoder: str = dataclasses.field(
+        default="sigmoid", metadata=dict(static=True)
+    )
 
 
 def param_specs(
     act: str = "tanh",
     action_scale: float = 0.2,
     scale_by_basal: bool = False,
+    decoder: str = "sigmoid",
 ) -> PolicyParams:
     """PartitionSpecs sharding the hidden dimension over 'tp'.
 
@@ -107,6 +125,7 @@ def param_specs(
         act=act,
         action_scale=action_scale,
         scale_by_basal=scale_by_basal,
+        decoder=decoder,
     )
 
 
@@ -119,6 +138,7 @@ def init_policy(
     act: str = "tanh",
     action_scale: float = 0.2,
     scale_by_basal: bool = False,
+    decoder: str = "sigmoid",
 ) -> PolicyParams:
     """``init_mu_bias`` shifts the initial action distribution: the emitted
     basal starts near ``sigmoid(init_mu_bias) * action_scale``.  The default
@@ -126,12 +146,19 @@ def init_policy(
     ~0.02 U/min at scale 0.2) starts from safe under-insulinization, which
     is the clinically sensible cold-start for training.
 
-    ``act`` picks the trunk activation, ``action_scale``/``scale_by_basal``
-    the action decoder; all three are carried in the params as static
-    metadata (see :class:`PolicyParams`).  Use 'relu' for networks destined
-    for the pallas-fused actor."""
+    ``act`` picks the trunk activation; ``decoder``/``action_scale``/
+    ``scale_by_basal`` the action decoder; all are carried in the params
+    as static metadata (see :class:`PolicyParams`).  Use 'relu' for
+    networks destined for the pallas-fused actor.  For
+    ``decoder='residual_bb'`` the default ``init_mu_bias=0`` makes the
+    fresh policy EXACTLY basal-bolus therapy (``exp(scale*tanh(0)) = 1``).
+    """
     if act not in ACTIVATIONS:
         raise ValueError(f"act must be one of {ACTIVATIONS}; got {act!r}")
+    if decoder not in ("sigmoid", "residual_bb"):
+        raise ValueError(
+            f"decoder must be 'sigmoid' or 'residual_bb'; got {decoder!r}"
+        )
     k1, k2, k3, k4 = jax.random.split(key, 4)
 
     def he(k, shape):
@@ -150,26 +177,32 @@ def init_policy(
         act=act,
         action_scale=float(action_scale),
         scale_by_basal=bool(scale_by_basal),
+        decoder=decoder,
     )
 
 
 def check_action_decoder(
-    params: "PolicyParams", action_scale: float, scale_by_basal: bool, where: str
+    params: "PolicyParams", action_scale: float, scale_by_basal: bool,
+    where: str, decoder: str = "sigmoid",
 ) -> None:
     """Raise if a training/deploy config's action decoder disagrees with
     the decoder the params were built for (PolicyParams static metadata) —
     the same silent-mismatch class as the trunk-activation check in
     pack_policy_weights."""
-    if float(params.action_scale) != float(action_scale) or bool(
-        params.scale_by_basal
-    ) != bool(scale_by_basal):
+    if (
+        float(params.action_scale) != float(action_scale)
+        or bool(params.scale_by_basal) != bool(scale_by_basal)
+        or getattr(params, "decoder", "sigmoid") != decoder
+    ):
         raise ValueError(
             f"{where}: action decoder mismatch — params carry "
+            f"decoder={getattr(params, 'decoder', 'sigmoid')!r}, "
             f"action_scale={params.action_scale}, "
             f"scale_by_basal={params.scale_by_basal} but the config uses "
-            f"action_scale={action_scale}, scale_by_basal={scale_by_basal}. "
-            f"Build the params with init_policy(..., action_scale=..., "
-            f"scale_by_basal=...) matching the PPOConfig, or fix the config."
+            f"decoder={decoder!r}, action_scale={action_scale}, "
+            f"scale_by_basal={scale_by_basal}. "
+            f"Build the params with init_policy(...) matching the "
+            f"PPOConfig, or fix the config."
         )
 
 

@@ -76,6 +76,13 @@ class PPOConfig:
     # (rl/fused.py wires this flag through); the deploy-side analog is
     # policy_controller(..., basal=...).
     scale_by_basal: bool = False
+    # action decoder (rl/policy.py PolicyParams.decoder): 'sigmoid' — the
+    # absolute-rate decoder above; 'residual_bb' — the policy modulates
+    # basal-bolus therapy, rate = bb_cmd * exp(action_scale * tanh(raw)).
+    # residual_bb trains on the pallas-fused path only (the kernel computes
+    # the BB command from the Quest planes in-kernel); action_scale is the
+    # log-range and scale_by_basal is ignored.
+    decoder: str = "sigmoid"
     init_log_std: float = -0.5
     # mixed-precision learner: cast matmul inputs (activations + weights) to
     # bf16 in the PPO loss forward/backward — f32 accumulation on the MXU,
@@ -896,6 +903,13 @@ def make_train_step(
         from simglucose_tpu.envs.functional import wrap_reward_fn
 
         reward_fun = wrap_reward_fn(reward_fun, env_cfg.window_size)
+    if cfg.decoder != "sigmoid":
+        raise ValueError(
+            "the XLA-rollout trainer implements the 'sigmoid' decoder "
+            "only; decoder='residual_bb' trains on the pallas-fused path "
+            "(rl/fused.make_fused_train_step — the kernel computes the BB "
+            "command in-kernel)"
+        )
     if cfg.reset_cadence > 1:
         if cfg.rollout_steps % cfg.reset_cadence:
             raise ValueError(

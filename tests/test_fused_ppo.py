@@ -508,3 +508,104 @@ def test_kernel_prep_matches_plane_prep():
         np.testing.assert_allclose(
             float(m_a[k]), float(m_b[k]), rtol=1e-2, atol=1e-4
         )
+
+
+def test_nn_residual_bb_decoder_matches_xla():
+    """decoder='residual_bb' (the policy multiplicatively modulates
+    basal-bolus therapy — PolicyParams.decoder docs): the kernel's
+    in-kernel BB command + exp(scale*tanh(raw)) modulation must drive the
+    env to the same trajectory as the XLA env path applying
+    policy_controller's residual law, through a meal (bolus branch) and a
+    correction (G>150 branch)."""
+    import dataclasses
+
+    from simglucose_tpu.params import load_quest_params
+
+    names = cohort_names(B)
+    cfg_env, params = make_env(names, batch=True, dtype=np.float32)
+    quest = load_quest_params(names, dtype=np.float32)
+    packed = pack_params(params.patient, basal_rate(params.patient),
+                         quest=quest)
+    policy = dataclasses.replace(
+        _policy(), decoder="residual_bb", action_scale=1.1,
+        scale_by_basal=False,
+    )
+
+    T = 4
+    meal_times = (3,)
+    meal_amounts = (45.0,)
+    scale = 1.1
+    pcfg = PallasRolloutConfig(
+        n_steps=T, block_rows=1, t_chunk=2, deterministic=True,
+        controller="nn", nn_hidden=H, nn_action_scale=scale,
+        nn_decoder="residual_bb",
+        det_meal_times=meal_times, det_meal_amounts=meal_amounts,
+    )
+    run = make_pallas_rollout(pcfg, B, interpret=True)
+    traj_p = run(packed, 0, weights=pack_policy_weights(policy))
+
+    meal_seq = np.zeros(T * 3 + 1, np.float32)
+    for t, a in zip(meal_times, meal_amounts):
+        meal_seq[t] = a
+    cfg, eparams = make_env(
+        names,
+        batch=True,
+        dtype=np.float32,
+        scenario_mode="exogenous",
+        meal_seq=meal_seq,
+        noise_seq=np.zeros(T + 4, np.float32),
+        substeps=1,
+        method="rk4",
+    )
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    state, res = batch_reset(cfg, eparams, keys, start_min=0)
+    patient_basal = basal_rate(eparams.patient)
+    cr = jnp.asarray(quest.CR)
+    cf = jnp.asarray(quest.CF)
+    st = cfg.sample_time
+
+    from simglucose_tpu.rl.policy import featurize_parts, iob_step
+
+    def body(carry, _):
+        s, prev, cgm_prev, iob = carry
+        obs = featurize(prev, patient_basal, cgm_prev=cgm_prev, iob=iob)
+        mu, _, _ = policy_apply(policy, obs)
+        # policy_controller's residual_bb law (rl/evaluate.py)
+        cgm = prev.observation.CGM
+        meal_ann = prev.CHO
+        bolus_u = (meal_ann * st) / cr + (cgm > 150.0).astype(mu.dtype) * (
+            cgm - 140.0
+        ) / cf
+        bolus = jnp.where(meal_ann > 0, bolus_u / st, 0.0)
+        rate = (patient_basal + bolus) * jnp.exp(scale * jnp.tanh(mu))
+        s, r, cres = jax.vmap(partial(autoreset_step, cfg))(
+            eparams, s, CtrlAction(basal=rate, bolus=jnp.zeros_like(rate))
+        )
+        n_cgm_prev = jnp.where(
+            r.done, cres.observation.CGM, prev.observation.CGM
+        )
+        n_iob = jnp.where(
+            r.done, jnp.zeros_like(iob),
+            iob_step(iob, r.insulin, st),
+        )
+        return (s, cres, n_cgm_prev, n_iob), r
+
+    (_, _, _, _), traj_e = jax.lax.scan(
+        body,
+        (state, res, res.observation.CGM,
+         jnp.zeros_like(res.observation.CGM)),
+        None, length=T,
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(traj_p["insulin"]), np.asarray(traj_e.insulin),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(traj_p["BG"]), np.asarray(traj_e.BG), rtol=1e-5
+    )
+    # the meal bolus actually fired: the controller doses on the PREVIOUS
+    # step's announced CHO (bb law), so the step AFTER the meal step
+    # carries bolus-sized insulin even at the modulation floor exp(-1.1)
+    ins = np.asarray(traj_p["insulin"])
+    assert (ins[2] > 3.0 * np.asarray(patient_basal)).mean() > 0.9

@@ -48,8 +48,12 @@ def cohort_eval(params, hours=24.0, seed=999):
 
     names = tables.patient_names()
     basal = basal_rate(tables.load_patient_params(names, dtype=np.float32))
+    quest = None
+    if getattr(params, "decoder", "sigmoid") == "residual_bb":
+        quest = tables.load_quest_params(names, dtype=np.float32)
     res = evaluate_controller(
-        policy_controller(params, basal), names, hours=hours, seed=seed,
+        policy_controller(params, basal, quest=quest),
+        names, hours=hours, seed=seed,
     )
     return res
 
@@ -68,8 +72,15 @@ def main():
     # fresh episodes every block (init=1), eval-horizon-scale training
     iters_per_block = int(sys.argv[2]) if len(sys.argv) > 2 else 8
 
+    decoder = os.environ.get("PPO_DECODER", "sigmoid")
     _, params = make_env(cohort_names(B), batch=True, dtype=np.float32)
-    packed = pack_params(params.patient, basal_rate(params.patient))
+    from simglucose_tpu.params import load_quest_params
+
+    # the residual_bb decoder reads the Quest CR/CF planes in-kernel;
+    # pack them unconditionally (sigmoid configs ignore them)
+    quest = load_quest_params(cohort_names(B), dtype=np.float32)
+    packed = pack_params(params.patient, basal_rate(params.patient),
+                         quest=quest)
     key = jax.random.PRNGKey(0)
     lr = float(os.environ.get("PPO_LR", 3e-4))
     ent = float(os.environ.get("PPO_ENT", 1e-3))
@@ -86,8 +97,9 @@ def main():
     barrier_w = float(os.environ.get("PPO_BARRIER", 0.15))
     cfg = PPOConfig(
         rollout_steps=64, epochs=2, minibatches=4, ent_coef=ent, lr=lr,
-        gamma=gamma,
-        init_log_std=ils, action_scale=scale, scale_by_basal=True,
+        gamma=gamma, decoder=decoder,
+        init_log_std=ils, action_scale=scale,
+        scale_by_basal=decoder == "sigmoid",
         # insulin acts with a 30-60 min lag (10-20 steps at Dexcom cadence):
         # gamma*lam must keep the hypo consequence of an overdose inside the
         # GAE credit horizon, or training drifts toward over-dosing
@@ -99,15 +111,29 @@ def main():
     )
     policy = init_policy(
         jax.random.fold_in(key, 1), hidden=HIDDEN, act="relu",
-        init_log_std=cfg.init_log_std, init_mu_bias=-2.2,
+        init_log_std=cfg.init_log_std,
+        # residual_bb: zero mean bias -> the fresh policy IS basal-bolus
+        # therapy (exp(scale*tanh(0)) = 1); sigmoid: safe under-dosed start
+        init_mu_bias=0.0 if decoder == "residual_bb" else -2.2,
         action_scale=cfg.action_scale, scale_by_basal=cfg.scale_by_basal,
+        decoder=decoder,
     )
     warm = os.environ.get("PPO_WARM_START")
     if warm:
+        import dataclasses as _dc
+
         from simglucose_tpu.utils.checkpoint import restore_state
 
         policy = restore_state(warm, like=policy)
-        print(f"warm start from {warm}", flush=True)
+        # decoder rescale compensation: warm-starting into a LARGER
+        # action_scale S' from a checkpoint trained at S keeps the
+        # effective policy ~unchanged in the low-dose region by shifting
+        # the mean bias (sigmoid(x) ~ e^x there): raw' = raw - ln(S'/S)
+        shift = float(os.environ.get("PPO_BMU_SHIFT", 0.0))
+        if shift:
+            policy = _dc.replace(policy, b_mu=policy.b_mu + shift)
+        print(f"warm start from {warm} (b_mu shift {shift:+.2f})",
+              flush=True)
     ts = init_fused_state(policy, make_optimizer(cfg).init(policy), B, key)
     # CONTINUING-task training (rl/fused.py make_fused_train_step docs):
     # auto-reset off so a BG excursion keeps collecting its own bad rewards
@@ -142,7 +168,23 @@ def main():
         donate_argnums=(1,),
     )
 
+    # BB-dominance selection (VERDICT r4 item 6): the BB therapy baseline
+    # at the SAME eval seed is the bar; prefer checkpoints that dominate
+    # it (RI better AND TIR within 1% AND hypo no worse), best RI among
+    # those; fall back to plain best-RI until one dominates.
+    from simglucose_tpu import params as _tbl
+    from simglucose_tpu.rl.evaluate import evaluate_controller as _ec
+
+    tables_names = _tbl.patient_names
+    bb = _ec("BB", tables_names(), hours=24.0, seed=999)
+    bb_ri = float(bb["risk_index"].mean())
+    bb_tir = float(bb["percent_in_70_180"].mean())
+    bb_hypo = float(bb["percent_below_70"].mean())
+    print(f"BB baseline (seed 999): RI {bb_ri:.3f} TIR {bb_tir:.1f}% "
+          f"hypo {bb_hypo:.2f}%", flush=True)
+
     best_ri = float("inf")
+    best_dom = False
     r0 = cohort_eval(policy)
     ri0 = float(r0["risk_index"].mean())
     print(f"iter 0: cohort RI {ri0:.3f} TIR {r0['percent_in_70_180'].mean():.1f}%",
@@ -150,7 +192,7 @@ def main():
 
     import jax.numpy as jnp
 
-    EVAL_EVERY = 10  # blocks (= 80 iterations)
+    EVAL_EVERY = int(os.environ.get("PPO_EVAL_EVERY", 10))
     tic = time.time()
     for blk in range(n_blocks):
         # fresh episodes each block: new start hours / init BG / meal plans
@@ -166,11 +208,17 @@ def main():
         ri = float(res["risk_index"].mean())
         tir = float(res["percent_in_70_180"].mean())
         hypo = float(res["percent_below_70"].mean())
+        dom = ri < bb_ri and tir >= bb_tir - 1.0 and hypo <= bb_hypo
+        better = (
+            (dom and not best_dom)
+            or (dom == best_dom and ri < best_ri)
+        )
         marker = ""
-        if ri < best_ri:
+        if better:
             best_ri = ri
+            best_dom = dom
             save_state(CKPT, jax.device_get(ts.params))
-            marker = "  <- checkpoint"
+            marker = "  <- checkpoint" + (" (dominates BB)" if dom else "")
         print(
             f"iter {i:5d}: train rew {rew:+.4f} done {done:.4f} ent {ent:.3f}"
             f" | cohort RI {ri:.3f} TIR {tir:.1f}% hypo {hypo:.2f}%{marker}",
