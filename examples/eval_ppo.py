@@ -34,6 +34,9 @@ from simglucose_tpu.utils.checkpoint import restore_state
 CKPT = os.path.join(
     os.path.dirname(__file__), "checkpoints", "ppo_cohort_relu64.npz"
 )
+RESIDUAL_CKPT = os.path.join(
+    os.path.dirname(__file__), "checkpoints", "ppo_cohort_residual_bb.npz"
+)
 
 hours = float(sys.argv[1]) if len(sys.argv) > 1 else 24.0
 seed = int(sys.argv[2]) if len(sys.argv) > 2 else 1234
@@ -52,8 +55,19 @@ names = tables.patient_names()
 from simglucose_tpu.models.uva_padova import basal_rate  # noqa: E402
 
 basal = basal_rate(tables.load_patient_params(names, dtype=np.float32))
+quest = tables.load_quest_params(names, dtype=np.float32)
+# the residual_bb checkpoint MODULATES basal-bolus therapy
+# (PolicyParams.decoder docs) — the BB-competitive flagship policy
+residual = restore_state(
+    RESIDUAL_CKPT,
+    like=init_policy(
+        jax.random.PRNGKey(0), hidden=64, act="relu",
+        action_scale=1.1, scale_by_basal=False, decoder="residual_bb",
+    ),
+)
 controllers = {
-    "PPO (deterministic)": policy_controller(policy, basal),
+    "PPO residual-BB": policy_controller(residual, basal, quest=quest),
+    "PPO (absolute)": policy_controller(policy, basal),
     "BB therapy": "BB",
     "PID": "PID",
 }
@@ -80,9 +94,13 @@ for label, df in summaries.items():
         f"BG {df.BG_mean.mean():5.1f}"
     )
 
-ppo_ri = summaries["PPO (deterministic)"].risk_index.mean()
+res_ri = summaries["PPO residual-BB"].risk_index.mean()
+bb_ri = summaries["BB therapy"].risk_index.mean()
+ppo_ri = summaries["PPO (absolute)"].risk_index.mean()
 pid_ri = summaries["PID"].risk_index.mean()
 print(
-    f"\nPPO mean risk index {ppo_ri:.3f} vs PID {pid_ri:.3f} "
-    f"({'BEATS' if ppo_ri < pid_ri else 'does not beat'} the PID baseline)"
+    f"\nPPO residual-BB mean risk index {res_ri:.3f} vs BB {bb_ri:.3f} "
+    f"({'BEATS' if res_ri < bb_ri else 'does not beat'} the BB baseline); "
+    f"absolute-decoder PPO {ppo_ri:.3f} vs PID {pid_ri:.3f} "
+    f"({'BEATS' if ppo_ri < pid_ri else 'does not beat'} PID)"
 )

@@ -95,6 +95,14 @@ def main():
     gamma = float(os.environ.get("PPO_GAMMA", 0.99))
     hypo_w = float(os.environ.get("PPO_HYPO_W", 3.0))
     barrier_w = float(os.environ.get("PPO_BARRIER", 0.15))
+    # reward scale: the CONTINUING objective has no terminals, so value
+    # targets are ~reward/(1-gamma*lam) — at gamma .995 that is ~50x the
+    # per-step reward, and the value head's large-scale regression drags
+    # the SHARED trunk (measured: train reward degrades monotonically
+    # after ~1e8 steps without this).  Advantage normalization makes the
+    # policy gradient scale-invariant, so scaling rewards to O(1) returns
+    # only tames the value loss.
+    rew_scale = float(os.environ.get("PPO_REW_SCALE", 1.0))
     cfg = PPOConfig(
         rollout_steps=64, epochs=2, minibatches=4, ent_coef=ent, lr=lr,
         gamma=gamma, decoder=decoder,
@@ -118,6 +126,19 @@ def main():
         action_scale=cfg.action_scale, scale_by_basal=cfg.scale_by_basal,
         decoder=decoder,
     )
+    # critic warm init: with the continuing objective the steady-state
+    # value is ~mean_reward/(1 - gamma*lam); initializing b_v there keeps
+    # the first policy updates from being driven by a wildly-wrong critic
+    # (measured: the BB-prior residual policy dips hard in the first ~40
+    # iterations while the critic converges)
+    init_bv = os.environ.get("PPO_INIT_BV")
+    if init_bv is not None:
+        import dataclasses as _dc0
+        import jax.numpy as _jnp0
+
+        policy = _dc0.replace(
+            policy, b_v=_jnp0.full((1,), float(init_bv), _jnp0.float32)
+        )
     warm = os.environ.get("PPO_WARM_START")
     if warm:
         import dataclasses as _dc
@@ -154,7 +175,9 @@ def main():
         cgm = traj["CGM"]
         lb, hb, _ = risk_scalar(cgm)
         barrier = barrier_w * jnp.maximum(90.0 - cgm, 0.0)
-        return -jnp.minimum(hb + hypo_w * lb, 400.0) / 10.0 - barrier
+        return rew_scale * (
+            -jnp.minimum(hb + hypo_w * lb, 400.0) / 10.0 - barrier
+        )
 
     loop = jax.jit(
         make_fused_train_loop(
