@@ -263,9 +263,15 @@ def evaluate_policy_kernel(
     if t_chunk is None:
         t_chunk = max(c for c in (16, 8, 6, 5, 4, 3, 2, 1) if n_steps % c == 0)
 
+    from simglucose_tpu.params import load_quest_params
+
     _, env_params = make_env(names_p, sensor=sensor, batch=True,
                              dtype=np.float32)
-    packed = pack_params(env_params.patient, basal_rate(env_params.patient))
+    # quest planes feed the residual_bb decoder's in-kernel BB command;
+    # sigmoid configs ignore them
+    quest = load_quest_params(names_p, dtype=np.float32)
+    packed = pack_params(env_params.patient, basal_rate(env_params.patient),
+                         quest=quest)
     H = params.w1.shape[1]
     cfg = config_for_sensor(
         sensor,
@@ -276,6 +282,7 @@ def evaluate_policy_kernel(
         nn_hidden=H,
         nn_action_scale=float(params.action_scale),
         nn_scale_by_basal=bool(params.scale_by_basal),
+        nn_decoder=getattr(params, "decoder", "sigmoid"),
         nn_sample_actions=False,
         prng="hw" if jax.default_backend() == "tpu" else "sw",
         autoreset=False,

@@ -199,3 +199,38 @@ def test_residual_checkpoint_competes_with_bb(residual_policy):
         f"policy hypo {ppo_hypo:.2f}% vs BB {bb_hypo:.2f}%"
     )
     assert np.isfinite(ppo["BG"]).all()
+
+
+def test_evaluate_policy_kernel_residual_decoder(residual_policy):
+    """evaluate_policy_kernel with a residual_bb checkpoint: the kernel
+    computes the BB command from the Quest planes in-kernel and modulates
+    it by the policy mean — smoke + determinism at CI scale (the full
+    4096-lane paired-vs-BB comparison is the BASELINE.md round-5 record).
+    """
+    import jax  # noqa: F401
+
+    from simglucose_tpu.rl.evaluate import evaluate_policy_kernel
+
+    names = ["adolescent#001", "adult#003", "child#007"]
+    hours = 4 * 3 / 60.0  # 4 Dexcom steps
+    out1 = evaluate_policy_kernel(
+        residual_policy, names, hours=hours, seed=5, interpret=True,
+        shard=False, t_chunk=1,
+    )
+    out2 = evaluate_policy_kernel(
+        residual_policy, names, hours=hours, seed=5, interpret=True,
+        shard=False, t_chunk=1,
+    )
+    assert out1["BG"].shape == (3, 4)
+    assert np.isfinite(out1["BG"]).all()
+    np.testing.assert_array_equal(out1["BG"], out2["BG"])
+    # dosing is bb-anchored: mean insulin within the modulation band of
+    # the therapy basal (no meal lands in this 12-min window)
+    from simglucose_tpu import params as tables
+    from simglucose_tpu.models.uva_padova import basal_rate
+
+    basal = np.asarray(
+        basal_rate(tables.load_patient_params(names, dtype=np.float32))
+    )
+    ratio = out1["insulin_mean"] / basal
+    assert (ratio > np.exp(-1.2)).all() and (ratio < np.exp(1.2) + 0.5).all()
