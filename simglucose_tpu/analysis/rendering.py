@@ -12,6 +12,39 @@ import logging
 logger = logging.getLogger(__name__)
 
 
+def _adjust_ylim(ax, ymin, ymax):
+    """Incremental y-window expansion (the reference Viewer's explicit
+    axis management, reference: rendering.py:119-136): grow the window by
+    a 10% margin only when data exceeds it — never shrink, so the view
+    stays steady during live animation."""
+    y1, y2 = ax.get_ylim()
+    update = False
+    if ymin < y1:
+        y1 = ymin - 0.1 * abs(ymin)
+        update = True
+    if ymax > y2:
+        y2 = ymax + 0.1 * abs(ymax)
+        update = True
+    if update:
+        ax.set_ylim([y1, y2])
+
+
+def _adjust_xlim(ax, tmax):
+    """Expand the time window by 6-hour blocks whenever the newest sample
+    comes within 30 minutes of the right edge (reference:
+    rendering.py:138-167)."""
+    from datetime import timedelta
+
+    import matplotlib.dates as mdates
+
+    x0, x1 = mdates.num2date(ax.get_xlim())
+    tmax = tmax.replace(tzinfo=None)
+    x0 = x0.replace(tzinfo=None)
+    x1 = x1.replace(tzinfo=None)
+    if tmax > x1 - timedelta(minutes=30):
+        ax.set_xlim([x0, x1 + timedelta(hours=6)])
+
+
 class Viewer:
     def __init__(self, start_time, patient_name, figsize=None):
         self.start_time = start_time
@@ -47,6 +80,12 @@ class Viewer:
         ax_cho.set_ylabel("CHO (g/min)")
         ax_ins.set_ylabel("insulin (U/min)")
         ax_risk.set_ylabel("Risk Index")
+        # initial time window; render() extends it in 6 h blocks
+        from datetime import timedelta
+
+        ax_risk.set_xlim(
+            [self.start_time, self.start_time + timedelta(hours=6)]
+        )
         for ax in self.axes:
             ax.legend(loc="upper right")
         self.fig.suptitle(self.patient_name)
@@ -68,9 +107,26 @@ class Viewer:
         self._l_lbgi.set_data(t, df["LBGI"])
         self._l_hbgi.set_data(t, df["HBGI"])
         self._l_ri.set_data(t, df["Risk"])
-        for ax in self.axes:
-            ax.relim()
-            ax.autoscale_view(scalex=True, scaley=ax is not self.axes[0])
+        # incremental window management, reference law (rendering.py:68-116:
+        # every panel's y-window grows with the data; the shared x-window
+        # extends in 6 h blocks as time approaches the right edge)
+        ax_bg, ax_cho, ax_ins, ax_risk = self.axes
+        _adjust_ylim(
+            ax_bg,
+            float(min(df["BG"].min(), df["CGM"].min())),
+            float(max(df["BG"].max(), df["CGM"].max())),
+        )
+        _adjust_ylim(ax_cho, float(df["CHO"].min()), float(df["CHO"].max()))
+        _adjust_ylim(
+            ax_ins, float(df["insulin"].min()), float(df["insulin"].max())
+        )
+        _adjust_ylim(
+            ax_risk,
+            float(df[["LBGI", "HBGI", "Risk"]].min().min()),
+            float(df[["LBGI", "HBGI", "Risk"]].max().max()),
+        )
+        tmax = t[-1].to_pydatetime() if hasattr(t[-1], "to_pydatetime") else t[-1]
+        _adjust_xlim(ax_risk, tmax)  # shared x-axis: one adjust suffices
         self.fig.canvas.draw_idle()
         try:
             self.fig.canvas.flush_events()

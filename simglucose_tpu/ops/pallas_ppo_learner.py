@@ -641,6 +641,83 @@ def ppo_grad_step_gather2(
     )
 
 
+def _gae_kernel(
+    scal_ref,  # SMEM [1, 2]: gamma, gamma*lam
+    r_ref,  # VMEM [T, Rt, 128] reward (penalty/custom shaping pre-applied)
+    d_ref,  # VMEM [T, Rt, 128] done as f32 (zeros for the continuing task)
+    v_ref,  # VMEM [T, Rt, 128] value
+    tail_ref,  # VMEM [Rt, 128] bootstrap value
+    out_ref,  # VMEM [2, T, Rt, 128]: row 0 = advantages, row 1 = returns
+    *,
+    T: int,
+):
+    gamma = scal_ref[0, 0]
+    gl = scal_ref[0, 1]
+    adv_next = jnp.zeros_like(tail_ref[:, :])
+    v_next = tail_ref[:, :]
+    for t in range(T - 1, -1, -1):
+        nt = 1.0 - d_ref[t]
+        v_t = v_ref[t]
+        delta = r_ref[t] + gamma * v_next * nt - v_t
+        adv = delta + gl * nt * adv_next
+        out_ref[0, t] = adv
+        out_ref[1, t] = adv + v_t
+        adv_next = adv
+        v_next = v_t
+
+
+def gae_pack(
+    reward: jnp.ndarray,  # [T, B] f32
+    done: jnp.ndarray,  # [T, B] f32 (0/1; pass zeros for continuing GAE)
+    value: jnp.ndarray,  # [T, B] f32
+    tail_value: jnp.ndarray,  # [B] f32
+    *,
+    gamma: float,
+    lam: float,
+    row_tile: int = 16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """GAE + the learner's [2, N] adv/ret pack as ONE pallas kernel: the
+    backward recurrence runs in-register over the statically-unrolled time
+    axis per batch tile, writing advantages and returns directly in the
+    feature-major layout ``ppo_grad_step_gather2`` consumes.  Exact-math
+    equivalent of ``rl/ppo._gae`` + ``jnp.stack`` (sequential-form
+    recurrence; the XLA path's associative scan reassociates, so parity is
+    to f32 rounding).  Column index = t*B + b, matching the rollout
+    kernel's learner buffer."""
+    T, B = reward.shape
+    if B % 128:
+        raise ValueError(f"batch {B} must be a multiple of 128")
+    rows = B // 128
+    rt = max(r for r in range(1, min(int(row_tile), rows) + 1) if rows % r == 0)
+    f32 = jnp.float32
+    scal = jnp.stack(
+        [jnp.asarray(gamma, f32), jnp.asarray(gamma * lam, f32)]
+    ).reshape(1, 2)
+    shape3 = lambda a: a.astype(f32).reshape(T, rows, 128)
+    out = pl.pallas_call(
+        functools.partial(_gae_kernel, T=T),
+        grid=(rows // rt,),
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((T, rt, 128), lambda i: (0, i, 0)),
+            pl.BlockSpec((T, rt, 128), lambda i: (0, i, 0)),
+            pl.BlockSpec((T, rt, 128), lambda i: (0, i, 0)),
+            pl.BlockSpec((rt, 128), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((2, T, rt, 128), lambda i: (0, 0, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((2, T, rows, 128), f32),
+        interpret=interpret,
+    )(
+        scal,
+        shape3(reward),
+        shape3(done),
+        shape3(value),
+        tail_value.astype(f32).reshape(rows, 128),
+    )
+    return out.reshape(2, T * B)
+
+
 # ---------------------------------------------------------------------------
 # Whole-epoch learner: ALL grad steps + clip + adam in ONE kernel
 # ---------------------------------------------------------------------------

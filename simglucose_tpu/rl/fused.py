@@ -240,22 +240,26 @@ def make_fused_train_step(
             ), metrics
         if kernel_prep:
             # the rollout kernel already emitted the learner buffer (obs
-            # rows + value + raw + logp) AND the bootstrap value — only
-            # GAE and the [2, N] adv/ret pack remain before the learner
+            # rows + value + raw + logp) AND the bootstrap value — GAE +
+            # the [2, N] adv/ret pack run as one more small kernel
+            # (ops/pallas_ppo_learner.gae_pack), leaving only the reward
+            # shaping (penalty / reward_fn) in XLA
+            from simglucose_tpu.ops.pallas_ppo_learner import gae_pack
+
             value = traj["value"]  # [T, B]
             done = traj["done"]
             base_reward = (
                 traj["reward"] if reward_fn is None else reward_fn(traj)
             )
             reward = base_reward - cfg.done_penalty * done.astype(value.dtype)
-            gae_done = jnp.zeros_like(done) if continuing else done
-            # _gae reads only value/reward/done; the other Transition
-            # fields are unused placeholders
-            tr = Transition(
-                obs=value, raw_action=value, logp=value,
-                value=value, reward=reward, done=gae_done,
+            gae_done = (
+                jnp.zeros_like(value)
+                if continuing else done.astype(value.dtype)
             )
-            advs, rets = _gae(cfg, tr, traj["tail_value"])
+            advret = gae_pack(
+                reward, gae_done, value, traj["tail_value"],
+                gamma=cfg.gamma, lam=cfg.lam, interpret=interpret,
+            )  # [2, N]
             state_f, state_i = jax.lax.optimization_barrier(
                 (traj["state_f"], traj["state_i"])
             )
@@ -264,17 +268,14 @@ def make_fused_train_step(
                     "reward_mean": reward.mean(),
                     "done_frac": done.mean(),
                     # keep the GAE outputs live so XLA can't DCE them
-                    "adv_mean": advs.mean(),
-                    "ret_mean": rets.mean(),
+                    "adv_mean": advret[0].mean(),
+                    "ret_mean": advret[1].mean(),
                     "logp_mean": traj["learner"][9].mean(),
                 }
                 return ts._replace(
                     state_f=state_f, state_i=state_i, init=jnp.int32(0),
                     key=key,
                 ), metrics
-            advret = jnp.stack(
-                [advs.reshape(-1), rets.reshape(-1)]
-            )  # [2, N]
             params, opt_state, key, aux = _update_packed(
                 cfg, opt, ts.params, ts.opt_state, traj["learner"],
                 advret, key, interpret=interpret,

