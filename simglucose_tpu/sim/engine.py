@@ -283,11 +283,37 @@ def _aot_cache_dir() -> str:
     )
 
 
+_KERNEL_SRC_HASH = None
+
+
+def _kernel_src_hash() -> str:
+    """Hash of the source files the compiled kernel is built from — part
+    of the AOT cache key so a CODE change can never silently serve a stale
+    executable (the config alone doesn't capture the kernel program)."""
+    global _KERNEL_SRC_HASH
+    if _KERNEL_SRC_HASH is None:
+        import hashlib
+
+        import simglucose_tpu.models.uva_padova as _uva
+        import simglucose_tpu.ops.pallas_rollout as _pr
+
+        h = hashlib.sha256()
+        for mod in (_pr, _uva):
+            try:
+                with open(mod.__file__, "rb") as f:
+                    h.update(f.read())
+            except OSError:
+                h.update(repr(mod).encode())
+        _KERNEL_SRC_HASH = h.hexdigest()[:16]
+    return _KERNEL_SRC_HASH
+
+
 def _aot_path(cfg, padded: int, n_dev: int) -> Optional[str]:
     """Path of the serialized executable for this kernel config, keyed by
     everything that invalidates a compiled TPU binary: jax/jaxlib versions,
-    the runtime's platform version (libtpu), device kind/count, and the
-    full kernel config.  None when the cache is disabled."""
+    the runtime's platform version (libtpu), device kind/count, the full
+    kernel config, AND the kernel source hash.  None when the cache is
+    disabled."""
     d = _aot_cache_dir()
     if not d:
         return None
@@ -305,6 +331,7 @@ def _aot_path(cfg, padded: int, n_dev: int) -> Optional[str]:
         cfg,
         padded,
         n_dev,
+        _kernel_src_hash(),
     ))
     h = hashlib.sha256(desc.encode()).hexdigest()[:32]
     return os.path.join(d, f"kernel_{h}.jaxexec")

@@ -448,3 +448,20 @@ def test_aot_cache_paths(monkeypatch, tmp_path):
     monkeypatch.setenv("SIMGLUCOSE_TPU_AOT_CACHE", "")
     assert eng._aot_path(cfg_p, padded, n_dev) is None
     assert not eng._aot_payload_exists(cfg_p, padded, n_dev)
+
+
+def test_aot_cache_key_includes_kernel_source(monkeypatch, tmp_path):
+    """A kernel CODE change must invalidate AOT payloads (a stale
+    executable served for a new kernel version would silently run old
+    physics): the cache key folds in the kernel source hash."""
+    from simglucose_tpu.sim import engine as eng
+
+    monkeypatch.setenv("SIMGLUCOSE_TPU_AOT_CACHE", str(tmp_path))
+    cfg_p, padded, _, n_dev, _ = eng._pallas_cfg(
+        ["adolescent#001"], "Dexcom", "Insulet", "PID", 16, 0, False,
+        datetime(2018, 1, 1), None,
+    )
+    p1 = eng._aot_path(cfg_p, padded, n_dev)
+    monkeypatch.setattr(eng, "_KERNEL_SRC_HASH", "different-source")
+    p2 = eng._aot_path(cfg_p, padded, n_dev)
+    assert p1 != p2
