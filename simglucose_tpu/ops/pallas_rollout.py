@@ -238,12 +238,17 @@ def pack_params(
 
     ``quest`` (any object with per-patient ``.CR``/``.CF`` arrays, e.g.
     :class:`simglucose_tpu.core.types.QuestParams`) is required for the
-    ``controller='bb'`` kernel config; PID/const ignore those planes."""
+    configs that READ the Quest planes — ``controller='bb'`` and
+    ``nn_decoder='residual_bb'``.  When quest is omitted those planes are
+    filled with NaN sentinels, so a quest-reading config fails LOUDLY
+    (NaN insulin/BG at the first meal or correction) instead of silently
+    dosing with CR=CF=1 — meal-gram-sized insulin rates.  PID / const /
+    sigmoid-decoder 'nn' configs never touch the planes."""
     cols = [getattr(params, f) for f in _PARAM_FIELDS]
     cols += [params.x0[:, i] for i in range(13)]
-    ones = jnp.ones_like(jnp.asarray(basal, jnp.float32))
+    nan = jnp.full_like(jnp.asarray(basal, jnp.float32), jnp.nan)
     cols += [basal]
-    cols += [quest.CR, quest.CF] if quest is not None else [ones, ones]
+    cols += [quest.CR, quest.CF] if quest is not None else [nan, nan]
     flat = jnp.stack([jnp.asarray(c, jnp.float32) for c in cols])  # [NP, B]
     B = flat.shape[1]
     if B % LANES:

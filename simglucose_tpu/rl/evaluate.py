@@ -33,8 +33,14 @@ def policy_controller(
     bb_target: float = 140.0,
 ):
     """Adapt a trained Gaussian-MLP policy into a functional controller
-    (the deterministic/eval form: rate = sigmoid(mu) * scale, no sampling —
-    how a trained policy would actually be deployed).
+    (the deterministic/eval form: the policy MEAN through the decoder the
+    params were trained with, no sampling — how a trained policy would
+    actually be deployed).  Two decoders (PolicyParams.decoder):
+    'sigmoid' — rate = sigmoid(mu) * action_scale [* basal];
+    'residual_bb' — rate = bb_cmd * exp(action_scale * tanh(mu)), where
+    bb_cmd is the basal-bolus therapy command built from ``basal`` and the
+    REQUIRED ``quest=`` CR/CF table (raises without it), with the
+    correction threshold at ``bb_target``.
 
     Returns the ``(ctrl_init, ctrl_fn, in_axes)`` triple every rollout
     engine accepts (controllers/functional.py, sim/engine.py

@@ -165,15 +165,28 @@ def make_fused_train_step(
         raise ValueError(f"stages must be rollout|forward|full; got {stages!r}")
     from simglucose_tpu.ops.pallas_rollout import config_for_sensor
 
-    prep_eligible = mesh is None and cfg.pallas_learner in (True, "step")
+    # learner_bf16 is excluded: the kernel-prep buffer carries f32
+    # logp/value from the rollout kernel while a bf16 learner forward
+    # would recompute them in bf16 — the epoch-0 ratio==1 invariant (the
+    # plane path shares ONE compute_dtype between the recompute and the
+    # loss forward) would silently break.  bf16 measured no learner
+    # speedup anyway (BASELINE.md round-4).
+    prep_eligible = (
+        mesh is None
+        and cfg.pallas_learner in (True, "step")
+        and not cfg.learner_bf16
+    )
     if kernel_prep is None:
         kernel_prep = prep_eligible
     elif kernel_prep and not prep_eligible:
         raise ValueError(
             "kernel_prep=True needs the single-device pallas 'step' "
             "learner (mesh=None, PPOConfig.pallas_learner in (True, "
-            "'step')) — the mesh trainer and the 'epoch' learner use the "
-            "observation-plane prep"
+            "'step')) with an f32 learner (learner_bf16=False — the "
+            "in-kernel behavior logp/value are f32, and a bf16 loss "
+            "forward would break the epoch-0 ratio==1 law); the mesh "
+            "trainer and the 'epoch' learner use the observation-plane "
+            "prep"
         )
 
     over = dict(

@@ -774,6 +774,11 @@ def _update(
         and "dp" in mesh.axis_names
         and ("tp" not in mesh.axis_names or mesh.shape["tp"] == 1)
         and B % mesh.shape["dp"] == 0
+        # pallas only lowers on TPU (or under interpret, which only the
+        # fused trainer threads through) — callers without interpret
+        # plumbing (make_train_step) keep the round-4 XLA-learner
+        # fallback on CPU/gloo meshes instead of failing to lower
+        and (interpret or jax.default_backend() == "tpu")
     ):
         # the kernel learner under a data-parallel mesh: per-device grad
         # kernels + one psum per minibatch (tp-sharded weights stay on

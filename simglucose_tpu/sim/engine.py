@@ -472,7 +472,12 @@ def _cached_pallas_run(cfg, padded: int, n_dev: int, interpret: bool):
     cache every fresh process paid the full kernel compile (~4 min over
     the tunnel) — now a ~0.2 s executable load."""
     key = _pallas_run_key(cfg, padded, n_dev, interpret)
-    fn = _PALLAS_RUN_CACHE.get(key)
+    fn = _PALLAS_RUN_CACHE.pop(key, None)
+    if fn is not None:
+        # true LRU: re-insert on hit so eviction drops the LEAST recently
+        # used entry, not merely the oldest-inserted (a >N-config sweep
+        # would otherwise evict exactly the entry about to be reused)
+        _PALLAS_RUN_CACHE[key] = fn
     if fn is None:
         fn = _PallasRunner(cfg, padded, n_dev, interpret)
         _cache_put(_PALLAS_RUN_CACHE, key, fn, _PALLAS_CACHE_MAX)
@@ -558,6 +563,17 @@ def _simulate_pallas(
             jnp.zeros((NS_F, padded // LANES, LANES), jnp.float32),
             jnp.zeros((NS_I, padded // LANES, LANES), jnp.int32),
         )
+        if n_dev > 1:
+            # the chunk-0 zero state must carry the SAME sharding the
+            # sharded runner's state outputs do (P(None, 'dp', None)) —
+            # the AOT-compiled executable is lowered against chunk 0's
+            # avals and does not reshard later chunks' inputs
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from simglucose_tpu.parallel.sharding import make_mesh
+
+            shard = NamedSharding(make_mesh(dp=n_dev, tp=1), P(None, "dp", None))
+            state = tuple(jax.device_put(s, shard) for s in state)
         n_tchunks = cfg.n_steps // cfg.t_chunk
         acc = {k: [] for k in
                plane_keys + ("LBGI", "HBGI", "risk")}

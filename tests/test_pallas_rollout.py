@@ -566,3 +566,23 @@ def test_chunked_persistent_matches_single_call_exactly():
     np.testing.assert_array_equal(
         np.asarray(out0["CGM0"]), np.asarray(traj_s["CGM0"])
     )
+
+
+def test_bb_without_quest_fails_loudly():
+    """Quest-reading configs (controller='bb', nn_decoder='residual_bb')
+    must FAIL LOUDLY when pack_params was called without quest=: the
+    CR/CF planes carry NaN sentinels, so the first meal bolus poisons the
+    trajectory instead of silently dosing with CR=CF=1 (meal-gram-sized
+    insulin rates)."""
+    names = cohort_names(B)
+    _, packed = _packed(names)  # NO quest -> NaN sentinel planes
+    pcfg = PallasRolloutConfig(
+        n_steps=2, block_rows=1, t_chunk=1, deterministic=True,
+        controller="bb",
+        det_meal_times=(0,), det_meal_amounts=(30.0,),
+    )
+    traj = make_pallas_rollout(pcfg, B, interpret=True)(packed, 0)
+    ins = np.asarray(traj["insulin"])
+    # the meal is announced during step 0 -> step 1's bolus reads the NaN
+    # CR plane and the failure is visible in the outputs
+    assert np.isnan(ins[1]).all()
