@@ -240,15 +240,20 @@ def pack_params(
     :class:`simglucose_tpu.core.types.QuestParams`) is required for the
     configs that READ the Quest planes — ``controller='bb'`` and
     ``nn_decoder='residual_bb'``.  When quest is omitted those planes are
-    filled with NaN sentinels, so a quest-reading config fails LOUDLY
-    (NaN insulin/BG at the first meal or correction) instead of silently
-    dosing with CR=CF=1 — meal-gram-sized insulin rates.  PID / const /
-    sigmoid-decoder 'nn' configs never touch the planes."""
+    filled with a finite ``-1.0`` sentinel that :func:`_unpack_params`
+    converts to NaN inside the kernel, so a quest-reading config fails
+    LOUDLY (NaN insulin/BG at the first meal or correction) instead of
+    silently dosing with CR=CF=1 — meal-gram-sized insulin rates.  PID /
+    const / sigmoid-decoder 'nn' configs never touch the planes.  The
+    sentinel is finite (not NaN) on purpose: multi-process
+    ``jax.device_put`` of the packed array onto a mesh sharding verifies
+    the value is identical on every host with ``==``, and NaN != NaN
+    would fail that check for hosts holding bit-identical arrays."""
     cols = [getattr(params, f) for f in _PARAM_FIELDS]
     cols += [params.x0[:, i] for i in range(13)]
-    nan = jnp.full_like(jnp.asarray(basal, jnp.float32), jnp.nan)
+    sentinel = jnp.full_like(jnp.asarray(basal, jnp.float32), -1.0)
     cols += [basal]
-    cols += [quest.CR, quest.CF] if quest is not None else [nan, nan]
+    cols += [quest.CR, quest.CF] if quest is not None else [sentinel, sentinel]
     flat = jnp.stack([jnp.asarray(c, jnp.float32) for c in cols])  # [NP, B]
     B = flat.shape[1]
     if B % LANES:
@@ -312,8 +317,16 @@ def _unpack_params(pref, rs: slice) -> tuple:
     n = len(_PARAM_FIELDS)
     x0 = tuple(pref[n + i, rs] for i in range(13))
     basal = pref[n + 13, rs]
+    # pack_params fills CR/CF with a finite -1.0 sentinel when quest is
+    # omitted (real Quest values are strictly positive); convert to NaN
+    # here so quest-READING configs still poison their doses loudly while
+    # the packed array itself stays NaN-free (multi-process device_put
+    # compares hosts' values with ==, where NaN != NaN).  Dead code for
+    # configs that never touch the planes.
     CR = pref[n + 14, rs]
     CF = pref[n + 15, rs]
+    CR = jnp.where(CR > 0, CR, jnp.nan)
+    CF = jnp.where(CF > 0, CF, jnp.nan)
     # PatientParams requires x0; give it a dummy (kernel never uses .x0)
     p = PatientParams(x0=x0[0], **vals)
     return p, x0, (basal, CR, CF)

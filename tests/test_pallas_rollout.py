@@ -571,11 +571,15 @@ def test_chunked_persistent_matches_single_call_exactly():
 def test_bb_without_quest_fails_loudly():
     """Quest-reading configs (controller='bb', nn_decoder='residual_bb')
     must FAIL LOUDLY when pack_params was called without quest=: the
-    CR/CF planes carry NaN sentinels, so the first meal bolus poisons the
-    trajectory instead of silently dosing with CR=CF=1 (meal-gram-sized
-    insulin rates)."""
+    CR/CF planes carry a finite -1.0 sentinel (NaN-free so multi-process
+    device_put equality checks pass) that the kernel converts to NaN, so
+    the first meal bolus poisons the trajectory instead of silently
+    dosing with CR=CF=1 (meal-gram-sized insulin rates)."""
     names = cohort_names(B)
-    _, packed = _packed(names)  # NO quest -> NaN sentinel planes
+    _, packed = _packed(names)  # NO quest -> -1.0 sentinel planes
+    assert np.isfinite(np.asarray(packed)).all(), (
+        "packed params must stay NaN-free for multi-process device_put"
+    )
     pcfg = PallasRolloutConfig(
         n_steps=2, block_rows=1, t_chunk=1, deterministic=True,
         controller="bb",
